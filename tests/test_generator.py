@@ -1,0 +1,188 @@
+"""Structural + numerical invariants of the JAX StyleGAN2-ADA generator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stylemc_tpu.models.stylegan2.generator import (
+    GeneratorConfig, init_generator_params, mapping, w_to_s, split_ws,
+    synthesis, generate, N_STYLE_CHANNELS, S_TRAINABLE_SPACE_CHANNELS,
+    RESOLUTION_UNTIL_K,
+)
+
+
+@pytest.fixture(scope="module")
+def small_gen():
+    cfg = GeneratorConfig(img_resolution=64, channel_base=4096, channel_max=128)
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_num_ws():
+    assert GeneratorConfig(img_resolution=256).num_ws == 14
+    assert GeneratorConfig(img_resolution=512).num_ws == 16
+    assert GeneratorConfig(img_resolution=1024).num_ws == 18
+
+
+def test_channels_ffhq1024():
+    cfg = GeneratorConfig(img_resolution=1024)
+    got = [cfg.channels(r) for r in cfg.block_resolutions]
+    assert got == [512, 512, 512, 512, 512, 256, 128, 64, 32]
+
+
+def test_temp_shapes():
+    cfg = GeneratorConfig(img_resolution=1024)
+    ts = cfg.temp_shapes()
+    assert ts[0] == (512, 512, 512)
+    assert ts[5] == (512, 256, 256)   # b128: conv0 in=C(64)=512, out 256
+    assert ts[-1] == (64, 32, 32)     # b1024
+
+
+def test_mapping_shapes_and_truncation(small_gen):
+    cfg, params = small_gen
+    z = jax.random.normal(jax.random.PRNGKey(1), (3, cfg.z_dim))
+    ws = mapping(params, cfg, z)
+    assert ws.shape == (3, cfg.num_ws, cfg.w_dim)
+    # all rows identical (broadcast)
+    np.testing.assert_allclose(np.array(ws[:, 0]), np.array(ws[:, -1]))
+    # psi=0 collapses to w_avg
+    ws0 = mapping(params, cfg, z, truncation_psi=0.0)
+    np.testing.assert_allclose(
+        np.array(ws0[0, 0]), np.array(params["mapping"]["w_avg"]), atol=1e-6)
+
+
+def test_split_ws_rows(small_gen):
+    cfg, params = small_gen
+    ws = jnp.arange(cfg.num_ws, dtype=jnp.float32)[None, :, None].repeat(512, -1)
+    blocks = split_ws(cfg, ws)
+    assert len(blocks) == len(cfg.block_resolutions)
+    assert blocks[0].shape[1] == 2
+    assert all(b.shape[1] == 3 for b in blocks[1:])
+    # torgb row of block k == first conv row of block k+1 (w reuse convention)
+    for k in range(len(blocks) - 1):
+        np.testing.assert_allclose(np.array(blocks[k][:, -1]),
+                                   np.array(blocks[k + 1][:, 0]))
+
+
+def test_w_to_s_layout(small_gen):
+    cfg, params = small_gen
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.z_dim))
+    ws = mapping(params, cfg, z)
+    s = w_to_s(params, cfg, ws)
+    assert s.shape == (2, N_STYLE_CHANNELS, 512)
+    ts = cfg.temp_shapes()
+    # occupied rows are nonzero within their true width, zero beyond
+    n_rows = cfg.num_style_rows
+    assert np.abs(np.array(s[:, n_rows:, :])).max() == 0
+    row = 2
+    for k in range(1, len(cfg.block_resolutions)):
+        w0 = ts[k][0]
+        assert np.abs(np.array(s[:, row, :w0])).max() > 0
+        assert np.abs(np.array(s[:, row, w0:])).max() == 0
+        row += 3
+
+
+def test_synthesis_shapes(small_gen):
+    cfg, params = small_gen
+    z = jax.random.normal(jax.random.PRNGKey(3), (2, cfg.z_dim))
+    img = generate(params, cfg, z)
+    assert img.shape == (2, 3, 64, 64)
+    assert img.dtype == jnp.float32
+    assert np.isfinite(np.array(img)).all()
+
+
+def test_synthesis_until_k(small_gen):
+    cfg, params = small_gen
+    z = jax.random.normal(jax.random.PRNGKey(4), (1, cfg.z_dim))
+    s = w_to_s(params, cfg, mapping(params, cfg, z))
+    img = synthesis(params, cfg, s, until_k=2)  # blocks 4, 8, 16
+    assert img.shape == (1, 3, 16, 16)
+    xs, img2 = synthesis(params, cfg, s, until_k=2, return_features=True)
+    assert len(xs) == 3
+    assert xs[-1].shape[-1] == 16
+    np.testing.assert_allclose(np.array(img), np.array(img2))
+
+
+def test_noise_modes(small_gen):
+    cfg, params = small_gen
+    # noise_strength inits to 0 (ADA convention) — give it signal so the
+    # noise modes are distinguishable.
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    params["synthesis"]["b8"]["conv1"] = dict(
+        params["synthesis"]["b8"]["conv1"], noise_strength=jnp.float32(0.5))
+    z = jax.random.normal(jax.random.PRNGKey(5), (1, cfg.z_dim))
+    s = w_to_s(params, cfg, mapping(params, cfg, z))
+    img_const1 = synthesis(params, cfg, s, noise_mode="const")
+    img_const2 = synthesis(params, cfg, s, noise_mode="const")
+    np.testing.assert_allclose(np.array(img_const1), np.array(img_const2))
+    img_none = synthesis(params, cfg, s, noise_mode="none")
+    assert not np.allclose(np.array(img_const1), np.array(img_none))
+    k = jax.random.PRNGKey(7)
+    img_r1 = synthesis(params, cfg, s, noise_mode="random", noise_key=k)
+    img_r2 = synthesis(params, cfg, s, noise_mode="random",
+                       noise_key=jax.random.PRNGKey(8))
+    assert not np.allclose(np.array(img_r1), np.array(img_r2))
+
+
+def test_direction_application_changes_image(small_gen):
+    cfg, params = small_gen
+    z = jax.random.normal(jax.random.PRNGKey(6), (1, cfg.z_dim))
+    s = w_to_s(params, cfg, mapping(params, cfg, z))
+    direction = jnp.zeros((1, N_STYLE_CHANNELS, 512))
+    direction = direction.at[:, list(S_TRAINABLE_SPACE_CHANNELS), :128].set(0.5)
+    img0 = synthesis(params, cfg, s)
+    img1 = synthesis(params, cfg, s + direction)
+    assert not np.allclose(np.array(img0), np.array(img1))
+
+
+def test_grad_flows_to_styles(small_gen):
+    cfg, params = small_gen
+    z = jax.random.normal(jax.random.PRNGKey(9), (1, cfg.z_dim))
+    s = w_to_s(params, cfg, mapping(params, cfg, z))
+
+    def loss(delta):
+        return jnp.mean(jnp.square(synthesis(params, cfg, s + delta)))
+
+    g = jax.grad(loss)(jnp.zeros_like(s))
+    g = np.array(g)
+    assert np.isfinite(g).all()
+    n_rows = cfg.num_style_rows
+    assert np.abs(g[:, :n_rows]).max() > 0
+    # no gradient to unused padded rows
+    assert np.abs(g[:, n_rows:]).max() == 0
+
+
+def test_feature_blending(small_gen):
+    cfg, params = small_gen
+    z = jax.random.normal(jax.random.PRNGKey(10), (2, cfg.z_dim))
+    s = w_to_s(params, cfg, mapping(params, cfg, z))
+    xs_orig, _ = synthesis(params, cfg, s, return_features=True)
+    # full mask at res 32 → block output replaced by original features
+    mask = jnp.ones((1, 1, 32, 32))
+    s2 = s + 0.3
+    img_blend = synthesis(params, cfg, s2, blend_masks={32: mask},
+                          xs_original=xs_orig)
+    img_plain = synthesis(params, cfg, s2)
+    assert not np.allclose(np.array(img_blend), np.array(img_plain))
+
+
+def test_until_k_resolution_dict():
+    assert RESOLUTION_UNTIL_K == {256: 6, 512: 7, 1024: 8}
+    # until_k=6 on a 1024 generator stops at block b256
+    cfg = GeneratorConfig(img_resolution=1024)
+    assert cfg.block_resolutions[6] == 256
+
+
+def test_bf16_synthesis(small_gen):
+    cfg_bf16 = GeneratorConfig(img_resolution=64, channel_base=4096,
+                               channel_max=128, low_precision_dtype="bfloat16")
+    _, params = small_gen
+    z = jax.random.normal(jax.random.PRNGKey(11), (1, 512))
+    cfg32 = GeneratorConfig(img_resolution=64, channel_base=4096, channel_max=128)
+    s = w_to_s(params, cfg32, mapping(params, cfg32, z))
+    img32 = np.array(synthesis(params, cfg32, s))
+    img16 = np.array(synthesis(params, cfg_bf16, s))
+    assert img16.dtype == np.float32  # output always fp32
+    # bf16 path stays close to fp32
+    assert np.abs(img16 - img32).mean() < 0.1
