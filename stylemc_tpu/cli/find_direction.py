@@ -1,0 +1,110 @@
+"""Optimize a global S-space direction for a text prompt.
+
+CLI contract: /root/reference/find_direction.py:203-353 (flags, defaults,
+output layout: {outdir}/direction_{prompt}.npz with key 's', periodic
+direction_last.npz, console logging format every 10 iterations).
+
+Model weights: the generator comes from --network; CLIP weights resolve via
+STYLEMC_CLIP_DIR (OpenAI .pt files), ArcFace via --arcface_weights or
+STYLEMC_ARCFACE (model_ir_se50.pth). --allow_random_init substitutes random
+weights for missing perception models (smoke tests only).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import click
+import numpy as np
+
+
+@click.command()
+@click.option("--network", "network_pkl", required=True)
+@click.option("--noise-mode", type=click.Choice(["const", "random", "none"]),
+              default="const", show_default=True)
+@click.option("--s_input", type=str, required=True)
+@click.option("--outdir", type=str, required=True)
+@click.option("--text_prompt", type=str, required=True,
+              default="a photo of a face of a feminine woman with no makeup")
+@click.option("--negative_text_prompt", type=str, required=False,
+              default="a photo of a face of a masculine man")
+@click.option("--clip_type", type=str, default="double", show_default=True)
+@click.option("--clip_loss_type", type=str, default="default", show_default=True)
+@click.option("--resolution", type=int, default=256, show_default=True)
+@click.option("--batch_size", type=int, default=4, show_default=True)
+@click.option("--learning_rate", type=float, default=1.5, show_default=True)
+@click.option("--n_epochs", type=int, default=4, show_default=True)
+@click.option("--resume", type=str, default=None)
+@click.option("--identity_loss_coef", type=float, default=0.6, show_default=True)
+@click.option("--landmarks_loss_coef", type=float, default=25.0, show_default=True)
+@click.option("--l2_reg_coef", type=float, default=0.1, show_default=True)
+@click.option("--clip_loss_coef", type=float, default=1.0, show_default=True)
+@click.option("--arcface_weights", type=str, default=None)
+@click.option("--allow_random_init", is_flag=True, default=False,
+              help="Random-init missing perception weights (smoke test only)")
+@click.option("--data_parallel/--no-data_parallel", default=True,
+              help="Shard the batch over all local devices")
+def main(network_pkl, noise_mode, s_input, outdir, text_prompt,
+         negative_text_prompt, clip_type, clip_loss_type, resolution,
+         batch_size, learning_rate, n_epochs, resume, identity_loss_coef,
+         landmarks_loss_coef, l2_reg_coef, clip_loss_coef, arcface_weights,
+         allow_random_init, data_parallel):
+    import jax
+
+    from ..io import load_generator
+    from ..train.find_direction import FindDirectionConfig, find_direction
+    from ..utils.model_zoo import load_clip_models, load_arcface
+    from ..parallel.mesh import data_mesh
+
+    print(f'Loading networks from "{network_pkl}"...')
+    cfg, params = load_generator(network_pkl)
+    os.makedirs(outdir, exist_ok=True)
+
+    fdc = FindDirectionConfig(
+        text_prompt=text_prompt, negative_text_prompt=negative_text_prompt,
+        resolution=resolution, batch_size=batch_size,
+        learning_rate=learning_rate, n_epochs=n_epochs,
+        identity_loss_coef=identity_loss_coef,
+        landmarks_loss_coef=landmarks_loss_coef,
+        l2_reg_coef=l2_reg_coef, clip_loss_coef=clip_loss_coef,
+        clip_type=clip_type, clip_loss_type=clip_loss_type,
+        noise_mode=noise_mode)
+
+    clip_models, tokenizer = load_clip_models(
+        fdc.clip_type, allow_random_init=allow_random_init)
+    arcface_params = load_arcface(arcface_weights,
+                                  allow_random_init=allow_random_init)
+
+    styles_array = np.load(s_input)["s"].astype(np.float32)
+    n_items = styles_array.shape[0]
+
+    mesh = data_mesh(max_size=batch_size) if data_parallel else None
+
+    resume_direction = None
+    if resume:
+        resume_direction = np.load(resume)["s"].astype(np.float32)
+        print(f"Loaded direction from {resume}")
+
+    prompt_tag = text_prompt.replace(" ", "_")
+    t1 = time.time()
+
+    def callback(it, loss, aux, lr, grad_norm, direction):
+        print(f"Iteration {it}, gradient norm: {grad_norm:.4f}, lr {lr:.4f}")
+        print(f"Total loss: {loss:.4f}, clip loss: {aux['clip_loss']:.4f}, "
+              f"identity loss: {aux['identity_loss']:.4f}, "
+              f"l2 loss: {aux['l2_loss']:.4f}")
+        if it % 1000 == 990:
+            np.savez(f"{outdir}/direction_last.npz", s=np.asarray(direction))
+
+    direction, info = find_direction(
+        params, cfg, styles_array, clip_models, arcface_params, fdc,
+        tokenizer=tokenizer, mesh=mesh, resume_direction=resume_direction,
+        callback=callback)
+
+    np.savez(f"{outdir}/direction_{prompt_tag}.npz", s=np.asarray(direction))
+    print("time passed:", time.time() - t1)
+
+
+if __name__ == "__main__":
+    main()

@@ -360,8 +360,14 @@ def synthesis(params, cfg: GeneratorConfig, styles, until_k: Optional[int] = Non
             styles_idx += 3
 
             if blend_masks and res in blend_masks and xs_original is not None:
-                m = blend_masks[res].astype(x.dtype)
-                x = m * xs_original[k].astype(x.dtype) + (1 - m) * x
+                masks = blend_masks[res]
+                if not isinstance(masks, (list, tuple)):
+                    masks = [masks]
+                # applied sequentially, matching the reference's stacked
+                # bg/teeth blends at res 64 (utils.py:196-205)
+                for m in masks:
+                    m = m.astype(x.dtype)
+                    x = m * xs_original[k].astype(x.dtype) + (1 - m) * x
 
         # skip-architecture ToRGB chain
         if img is not None:
@@ -385,3 +391,13 @@ def generate(params, cfg: GeneratorConfig, z, truncation_psi: float = 1.0,
 
 
 RESOLUTION_UNTIL_K = {256: 6, 512: 7, 1024: 8}  # reference find_direction.py:263
+
+# Jitted entry points (cfg is a frozen dataclass → hashable static arg).
+# Eager per-op dispatch is pathological over remote-TPU links; CLIs use these.
+mapping_jit = jax.jit(mapping, static_argnums=(1,),
+                      static_argnames=("truncation_psi", "truncation_cutoff",
+                                       "skip_w_avg_update"))
+w_to_s_jit = jax.jit(w_to_s, static_argnums=(1,))
+synthesis_jit = jax.jit(synthesis, static_argnums=(1,),
+                        static_argnames=("until_k", "noise_mode",
+                                         "return_features"))

@@ -1,0 +1,60 @@
+"""Device mesh / sharding helpers — the comm layer (SURVEY.md §2e/§5).
+
+The reference has no reachable multi-device path (single hardcoded CUDA
+device everywhere; its torch.distributed primitives are vestigial). Here
+data parallelism is first-class: a 1-axis 'data' mesh over local devices,
+NamedSharding for batch axes, and XLA-inserted collectives. Multi-host
+extends the same mesh over jax.process_count() via jax.distributed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(max_size: Optional[int] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """1-axis ('data',) mesh over (a divisor-truncated set of) devices.
+
+    max_size: cap the mesh at the largest device count that divides the
+    batch (e.g. batch 4 on 8 chips → 4-device mesh)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if max_size is not None:
+        while n > 1 and (max_size % n != 0):
+            n -= 1
+        n = min(n, max_size) if max_size >= 1 else n
+        while n > 1 and max_size % n != 0:
+            n -= 1
+    return Mesh(np.array(devices[:n]), axis_names=("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place arrays with the leading axis sharded over the mesh."""
+    s = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, s) for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
+    """Multi-host init (DCN across slices). No-op when single-process."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)

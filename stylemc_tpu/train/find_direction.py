@@ -1,0 +1,342 @@
+"""Global S-space direction optimization (the StyleMC core).
+
+Behavioral contract: /root/reference/find_direction.py:203-353 —
+SGD over a trainable Δs restricted to channels [2,3,5,6,8,9,11,12], cosine
+LR, loss = id_coef·ArcFace + clip_coef·CLIP-directional (+0.5·ViT-B/16 when
+clip_type='double') + l2_coef·MSE(styles2, styles) (+ landmarks, see below),
+partial-resolution synthesis via until_k = {256:6, 512:7, 1024:8}.
+
+TPU-first redesign (same math, fewer FLOPs, one jit graph):
+  * The original (unedited) images depend only on the fixed seed styles, so
+    their ArcFace/CLIP features are precomputed ONCE and cached — each step
+    runs a single synthesis + single CLIP/ArcFace forward instead of the
+    reference's two of each. Numerically identical: the reference detaches
+    the original-image features anyway (id_loss.py:30; CLIP source features
+    carry no Δs dependence).
+  * Whole step (synthesis → losses → grad → SGD update) is one jit graph.
+  * Data parallelism: batch rows sharded over a 1-axis device mesh with
+    NamedSharding; Δs replicated; XLA inserts the psum for the grad — no
+    hand-written collectives.
+  * Batch sampling: `batch_size` random items per step (static shapes). The
+    reference samples an aligned batch-start instead, with a ragged final
+    batch (find_direction.py:303-304) — equivalent in expectation, and
+    static shapes keep XLA from recompiling.
+
+Landmarks loss: in the reference the MobileNet landmarker runs under
+torch.no_grad() with a PIL round-trip (find_direction.py:90-91,129-141), so
+it contributes ZERO gradient — it only shifts the printed loss. We therefore
+keep it out of the jit graph; `landmarks_metric_fn` can be supplied to
+reproduce the reported number.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.stylegan2.generator import (
+    GeneratorConfig, synthesis, N_STYLE_CHANNELS, STYLE_DIM,
+    S_TRAINABLE_SPACE_CHANNELS, RESOLUTION_UNTIL_K,
+)
+from ..models.clip import encode_image, unprocess
+from ..losses.clip_loss import make_text_direction
+from ..losses.id_loss import extract_feats
+from ..losses.clip_loss_nada import NADATextAnchors, preprocess_nada
+
+TRAINABLE = list(S_TRAINABLE_SPACE_CHANNELS)
+
+
+@dataclasses.dataclass
+class FindDirectionConfig:
+    """Mirrors the reference CLI defaults (find_direction.py:205-228)."""
+    text_prompt: str = "a photo of a face of a feminine woman with no makeup"
+    negative_text_prompt: str = "a photo of a face of a masculine man"
+    resolution: int = 256
+    batch_size: int = 4
+    learning_rate: float = 1.5
+    n_epochs: int = 4
+    identity_loss_coef: float = 0.6
+    landmarks_loss_coef: float = 25.0
+    l2_reg_coef: float = 0.1
+    clip_loss_coef: float = 1.0
+    clip_type: str = "double"          # 'small' | 'large' | 'double'
+    clip_loss_type: str = "default"    # 'default' | 'nada' | 'nada_global'
+    noise_mode: str = "const"
+    seed: int = 0
+    # non-default ArcFace bottleneck layout (tests / dryruns); None = IR-SE-50
+    arcface_layout: Optional[Any] = None
+
+
+def until_k_for_resolution(resolution: int) -> int:
+    """Block index for partial-resolution synthesis; generalizes the
+    reference's resolution_dict {256:6, 512:7, 1024:8}
+    (find_direction.py:263)."""
+    return int(np.log2(resolution)) - 2
+
+
+def cosine_lr(base_lr: float, cur_iteration: int, total_iterations: int) -> float:
+    """reference find_direction.py:298-299."""
+    return float(np.cos(np.pi * cur_iteration / total_iterations)
+                 * base_lr * 0.5 + base_lr * 0.5)
+
+
+@dataclasses.dataclass
+class CLIPBundle:
+    cfg: Any
+    params: Any
+    text_direction: Optional[jnp.ndarray] = None      # StyleMC loss
+    nada_anchors: Optional[NADATextAnchors] = None    # NADA losses
+    weight: float = 1.0
+
+
+def make_clip_bundles(fdc: FindDirectionConfig, clip_models: Dict[str, Tuple],
+                      tokenizer=None) -> List[CLIPBundle]:
+    """clip_models: {'ViT-B/32': (cfg, params), ...}. Builds the 1-2 bundles
+    init_clip_loss would (reference find_direction.py:100-122)."""
+    from ..models.clip import tokenize
+
+    if fdc.clip_type == "double":
+        names_weights = [("ViT-B/32", 1.0), ("ViT-B/16", 0.5)]
+    elif fdc.clip_type == "large":
+        names_weights = [("ViT-B/16", 1.0)]
+    else:
+        names_weights = [("ViT-B/32", 1.0)]
+
+    bundles = []
+    for name, weight in names_weights:
+        cfg, params = clip_models[name]
+        b = CLIPBundle(cfg=cfg, params=params, weight=weight)
+        if fdc.clip_loss_type in ("nada", "nada_global"):
+            b.nada_anchors = NADATextAnchors.create(
+                params, cfg, fdc.negative_text_prompt, fdc.text_prompt,
+                tokenizer=tokenizer)
+        else:
+            t_pos = jnp.asarray(tokenize([fdc.text_prompt], tokenizer=tokenizer))
+            t_neg = jnp.asarray(tokenize([fdc.negative_text_prompt],
+                                         tokenizer=tokenizer))
+            b.text_direction = make_text_direction(params, cfg, t_pos, t_neg)
+        bundles.append(b)
+    return bundles
+
+
+def _clip_image_features(bundle: CLIPBundle, img, clip_loss_type: str):
+    size = bundle.cfg.image_resolution
+    if clip_loss_type in ("nada", "nada_global"):
+        x = preprocess_nada(img, size)
+    else:
+        x = unprocess(img, size)
+    return encode_image(bundle.params, bundle.cfg, x)
+
+
+def precompute_original_features(gen_params, gen_cfg: GeneratorConfig,
+                                 styles_array, bundles: List[CLIPBundle],
+                                 arcface_params, fdc: FindDirectionConfig,
+                                 chunk: int = 8):
+    """Original-image ArcFace + CLIP features for every item, computed once."""
+    until_k = until_k_for_resolution(fdc.resolution)
+
+    @jax.jit
+    def feats(styles):
+        img = synthesis(gen_params, gen_cfg, styles, until_k=until_k,
+                        noise_mode=fdc.noise_mode)
+        id_f = extract_feats(arcface_params, img, fdc.arcface_layout)
+        clip_f = tuple(_clip_image_features(b, img, fdc.clip_loss_type)
+                       for b in bundles)
+        return id_f, clip_f
+
+    n = styles_array.shape[0]
+    id_out, clip_out = [], [[] for _ in bundles]
+    for i in range(0, n, chunk):
+        batch = styles_array[i:i + chunk]
+        pad = 0
+        if batch.shape[0] < chunk:
+            pad = chunk - batch.shape[0]
+            batch = jnp.concatenate(
+                [batch, jnp.repeat(batch[-1:], pad, axis=0)], axis=0)
+        id_f, clip_f = feats(batch)
+        keep = chunk - pad
+        id_out.append(id_f[:keep])
+        for j, cf in enumerate(clip_f):
+            clip_out[j].append(cf[:keep])
+    return (jnp.concatenate(id_out, axis=0),
+            tuple(jnp.concatenate(c, axis=0) for c in clip_out))
+
+
+def make_loss_fn(gen_params, gen_cfg: GeneratorConfig,
+                 bundles: List[CLIPBundle], arcface_params,
+                 fdc: FindDirectionConfig,
+                 edit_fn: Optional[Callable] = None,
+                 edit_gen: Optional[Tuple] = None):
+    """loss(trainable, styles, id_feats_orig, clip_feats_orig) → (loss, aux).
+
+    edit_fn(trainable, styles) → styles2. Default: global-direction edit
+    (trainable = Δs rows scattered into the trainable channels). The mapper
+    trainer passes its own edit_fn. `edit_gen` optionally supplies a second
+    (params, cfg) used to render the EDITED image (the two-generator
+    domain-transfer mode, reference train_latent_mapper.py:159-162).
+    """
+    until_k = until_k_for_resolution(fdc.resolution)
+    e_params, e_cfg = edit_gen if edit_gen is not None else (gen_params, gen_cfg)
+
+    if edit_fn is None:
+        def edit_fn(delta_s, styles):
+            direction = jnp.zeros((1, N_STYLE_CHANNELS, STYLE_DIM), jnp.float32)
+            direction = direction.at[:, TRAINABLE].set(delta_s)
+            return styles + direction
+
+    def loss_fn(trainable, styles, id_feats_orig, clip_feats_orig):
+        styles2 = edit_fn(trainable, styles)
+
+        img = synthesis(e_params, e_cfg, styles2, until_k=until_k,
+                        noise_mode=fdc.noise_mode)
+
+        # --- identity loss (reference id_loss.py:26-39, orig feats detached)
+        id_f = extract_feats(arcface_params, img, fdc.arcface_layout)
+        identity_loss = jnp.mean(1.0 - jnp.sum(id_f * id_feats_orig, axis=1))
+        identity_loss = identity_loss * fdc.identity_loss_coef
+
+        # --- CLIP alignment loss
+        clip_loss = 0.0
+        for b, orig_f in zip(bundles, clip_feats_orig):
+            f_tgt = _clip_image_features(b, img, fdc.clip_loss_type)
+            if fdc.clip_loss_type == "nada_global":
+                # global: 1 - scaled cosine logits vs target prompt
+                f_n = f_tgt / jnp.linalg.norm(f_tgt, axis=-1, keepdims=True)
+                t_n = b.nada_anchors.target_text_features
+                logit_scale = jnp.exp(b.params["logit_scale"])
+                term = jnp.mean(1.0 - logit_scale * (f_n @ t_n.T) / 100.0)
+            elif fdc.clip_loss_type == "nada":
+                f_src = orig_f / jnp.linalg.norm(orig_f, axis=-1, keepdims=True)
+                f_t = f_tgt / jnp.linalg.norm(f_tgt, axis=-1, keepdims=True)
+                edit = f_t - f_src
+                edit = edit / jnp.maximum(
+                    jnp.linalg.norm(edit, axis=-1, keepdims=True), 1e-6)
+                td = b.nada_anchors.target_direction
+                cos = jnp.sum(edit * td, axis=-1)
+                term = jnp.mean(1.0 - cos)
+            else:
+                # StyleMC: normalize(E(tgt) − E(src)) vs text direction.
+                # Norm clamped: at step 1 a zero Δs renders the original
+                # exactly (const noise, deterministic TPU), so the edit
+                # direction is 0 — 0/0 would NaN the run.
+                edit = f_tgt - orig_f
+                edit = edit / jnp.maximum(
+                    jnp.linalg.norm(edit, axis=-1, keepdims=True), 1e-6)
+                td = b.text_direction
+                cos = jnp.sum(edit * td.astype(edit.dtype), axis=-1)
+                term = jnp.mean(1.0 - cos)
+            clip_loss = clip_loss + b.weight * term
+        clip_loss = clip_loss * fdc.clip_loss_coef
+
+        # --- L2 manipulation regularizer (find_direction.py:190-191)
+        l2 = fdc.l2_reg_coef * jnp.mean(jnp.square(
+            styles2[:, TRAINABLE] - styles[:, TRAINABLE]))
+
+        loss = identity_loss + clip_loss + l2
+        aux = {"clip_loss": clip_loss, "identity_loss": identity_loss,
+               "l2_loss": l2}
+        return loss, aux
+
+    return loss_fn
+
+
+def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
+                   clip_models: Dict[str, Tuple], arcface_params,
+                   fdc: FindDirectionConfig,
+                   tokenizer=None,
+                   mesh: Optional[jax.sharding.Mesh] = None,
+                   resume_direction: Optional[np.ndarray] = None,
+                   callback: Optional[Callable] = None,
+                   landmarks_metric_fn: Optional[Callable] = None):
+    """Run the full optimization. Returns styles_direction [1, 26, 512].
+
+    styles_array: [n_items, 26, 512]; clip_models: {'ViT-B/32': (cfg, params)}.
+    callback(iteration, loss, aux, lr, grad_norm, direction) every 10 iters.
+    """
+    styles_array = jnp.asarray(styles_array, jnp.float32)
+    n_items = styles_array.shape[0]
+    bundles = make_clip_bundles(fdc, clip_models, tokenizer)
+
+    id_feats_orig_all, clip_feats_orig_all = precompute_original_features(
+        gen_params, gen_cfg, styles_array, bundles, arcface_params, fdc)
+
+    if resume_direction is not None:
+        delta_s = jnp.asarray(resume_direction, jnp.float32)[:, TRAINABLE]
+    else:
+        # Tiny non-zero init: breaks the degenerate edited==original start
+        # (the reference inits at exactly zero — find_direction.py:270 — and
+        # relies on CUDA noise to leave the 0/0 point; deterministic TPU
+        # must not). Documented deviation; scale is negligible vs trained
+        # direction magnitudes.
+        delta_s = jax.random.normal(
+            jax.random.PRNGKey(fdc.seed),
+            (1, len(TRAINABLE), STYLE_DIM), jnp.float32) * 1e-3
+
+    optimizer = optax.inject_hyperparams(optax.sgd)(
+        learning_rate=fdc.learning_rate)
+    opt_state = optimizer.init(delta_s)
+
+    num_batches = math.ceil(n_items / fdc.batch_size)
+    total_iterations = num_batches * fdc.n_epochs
+
+    loss_fn = make_loss_fn(gen_params, gen_cfg, bundles, arcface_params, fdc)
+
+    data_sharding = None
+    if mesh is not None:
+        data_sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data"))
+
+    @jax.jit
+    def step(delta_s, opt_state, styles, id_f, clip_f):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            delta_s, styles, id_f, clip_f)
+        updates, opt_state = optimizer.update(grads, opt_state, delta_s)
+        delta_s = optax.apply_updates(delta_s, updates)
+        grad_norm = jnp.linalg.norm(grads.reshape(-1))
+        return delta_s, opt_state, loss, aux, grad_norm
+
+    rng = np.random.RandomState(fdc.seed)
+    cur_iteration = 0
+    t0 = time.time()
+    history = []
+    for epoch in range(fdc.n_epochs):
+        for _ in range(num_batches):
+            cur_iteration += 1
+            lr = cosine_lr(fdc.learning_rate, cur_iteration, total_iterations)
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+
+            idx = rng.randint(0, n_items, size=fdc.batch_size)
+            styles = styles_array[idx]
+            id_f = id_feats_orig_all[idx]
+            clip_f = tuple(c[idx] for c in clip_feats_orig_all)
+            if data_sharding is not None:
+                styles = jax.device_put(styles, data_sharding)
+                id_f = jax.device_put(id_f, data_sharding)
+                clip_f = tuple(jax.device_put(c, data_sharding) for c in clip_f)
+
+            delta_s, opt_state, loss, aux, grad_norm = step(
+                delta_s, opt_state, styles, id_f, clip_f)
+
+            if callback is not None and cur_iteration % 10 == 0:
+                callback(cur_iteration, float(loss),
+                         {k: float(v) for k, v in aux.items()},
+                         lr, float(grad_norm), assemble_direction(delta_s))
+            history.append(float(loss))
+
+    direction = assemble_direction(delta_s)
+    elapsed = time.time() - t0
+    return direction, {"history": history, "time": elapsed,
+                       "iterations": cur_iteration}
+
+
+def assemble_direction(delta_s) -> jnp.ndarray:
+    """[1, 8, 512] trainable rows → full [1, 26, 512] direction."""
+    direction = jnp.zeros((1, N_STYLE_CHANNELS, STYLE_DIM), jnp.float32)
+    return direction.at[:, TRAINABLE].set(delta_s)

@@ -1,21 +1,22 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Set before jax initializes so sharding tests exercise real multi-device
-compilation paths without TPU hardware.
+The axon TPU plugin's sitecustomize forces JAX_PLATFORMS=axon, so the env
+var alone is not enough — jax.config.update after import wins.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_compilation_cache_dir", "/tmp/stylemc_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,102 @@
+"""End-to-end CLI pipeline smoke: fabricated .pkl → generate_w →
+w_s_converter → generate_fromS (direction + mapper paths), exercising the
+reference's three inference CLIs (SURVEY.md §7 milestone 1)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+from click.testing import CliRunner
+
+from stylemc_tpu.models.stylegan2.generator import (
+    GeneratorConfig, init_generator_params, N_STYLE_CHANNELS,
+)
+from test_pickle_loader import fabricate_pkl
+
+
+@pytest.fixture(scope="module")
+def pkl_path(tmp_path_factory):
+    cfg = GeneratorConfig(img_resolution=32, channel_base=1024, channel_max=64,
+                          mapping_layers=2)
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    return fabricate_pkl(tmp_path_factory.mktemp("net"), cfg, params)
+
+
+def test_full_pipeline(pkl_path, tmp_path):
+    from stylemc_tpu.cli.generate_w import main as generate_w
+    from stylemc_tpu.cli.w_s_converter import main as w_s_converter
+    from stylemc_tpu.cli.generate_fromS import main as generate_fromS
+
+    runner = CliRunner()
+    w_file = os.path.join(str(tmp_path), "projected_w.npz")
+    s_file = os.path.join(str(tmp_path), "input.npz")
+    outdir = os.path.join(str(tmp_path), "out")
+
+    r = runner.invoke(generate_w, ["--network", pkl_path, "--seeds", "1-4",
+                                   "--trunc", "0.7", "--out_file", w_file],
+                      catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    w = np.load(w_file)["w"]
+    assert w.shape == (4, 8, 512)  # res 32 → num_ws 8
+
+    r = runner.invoke(w_s_converter, ["--network", pkl_path,
+                                      "--projected-w", w_file,
+                                      "--out_file", s_file],
+                      catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    s = np.load(s_file)["s"]
+    assert s.shape == (4, N_STYLE_CHANNELS, 512)
+
+    # save a small handmade direction under the expected filename
+    os.makedirs(outdir, exist_ok=True)
+    prompt = "test prompt"
+    direction = np.zeros((1, N_STYLE_CHANNELS, 512), np.float32)
+    direction[:, 2, :64] = 0.2
+    np.savez(os.path.join(outdir, f"direction_{prompt.replace(' ', '_')}.npz"),
+             s=direction)
+
+    r = runner.invoke(generate_fromS,
+                      ["--network", pkl_path, "--s_input", s_file,
+                       "--outdir", outdir, "--text_prompt", prompt,
+                       "--change_power", "2.0"],
+                      catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    outs = [f for f in os.listdir(outdir) if f.endswith(".jpeg")]
+    assert len(outs) == 4
+    from PIL import Image
+    img = np.asarray(Image.open(os.path.join(outdir, sorted(outs)[0])))
+    assert img.shape == (32, 64, 3)  # [orig | edited] side by side
+    left, right = img[:, :32], img[:, 32:]
+    assert np.abs(left.astype(int) - right.astype(int)).max() > 0
+
+
+def test_generate_w_seed_stream_matches_reference_convention(pkl_path, tmp_path):
+    # The z for seed k must be np.random.RandomState(k).randn(1, z_dim)
+    # (reference generate_w.py:48) — verify via mapping determinism.
+    from stylemc_tpu.cli.generate_w import main as generate_w
+    runner = CliRunner()
+    f1 = os.path.join(str(tmp_path), "a.npz")
+    f2 = os.path.join(str(tmp_path), "b.npz")
+    for f in (f1, f2):
+        r = runner.invoke(generate_w, ["--network", pkl_path, "--seeds", "7",
+                                       "--out_file", f], catch_exceptions=False)
+        assert r.exit_code == 0, r.output
+    np.testing.assert_array_equal(np.load(f1)["w"], np.load(f2)["w"])
+
+
+def test_generate_fromS_projected_w_branch(pkl_path, tmp_path):
+    from stylemc_tpu.cli.generate_w import main as generate_w
+    from stylemc_tpu.cli.generate_fromS import main as generate_fromS
+    runner = CliRunner()
+    w_file = os.path.join(str(tmp_path), "w.npz")
+    outdir = os.path.join(str(tmp_path), "proj_out")
+    r = runner.invoke(generate_w, ["--network", pkl_path, "--seeds", "1,2",
+                                   "--out_file", w_file], catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    r = runner.invoke(generate_fromS,
+                      ["--network", pkl_path, "--projected-w", w_file,
+                       "--outdir", outdir, "--text_prompt", "x"],
+                      catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    assert sorted(os.listdir(outdir)) == ["proj00.png", "proj01.png"]

@@ -1,0 +1,172 @@
+"""End-to-end trainer tests on tiny models: find_direction, latent mapper,
+and edit application. Exercises the full jit graphs including the data-
+parallel mesh path on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stylemc_tpu.models.stylegan2.generator import (
+    mapping, w_to_s, N_STYLE_CHANNELS, S_TRAINABLE_SPACE_CHANNELS,
+)
+from stylemc_tpu.models.clip import FallbackTokenizer
+from stylemc_tpu.models.mapper import (
+    init_mapper_params, mapper_apply, params_from_torch_state,
+    params_to_torch_state,
+)
+from stylemc_tpu.train.find_direction import (
+    FindDirectionConfig, find_direction, cosine_lr, until_k_for_resolution,
+    assemble_direction,
+)
+from stylemc_tpu.train.latent_mapper import MapperTrainConfig, train_latent_mapper
+from stylemc_tpu.edit import apply_edit_batch, mapper_direction
+from stylemc_tpu.parallel.mesh import data_mesh
+from tiny import tiny_gen, tiny_clip_models, tiny_arcface, TINY_ARCFACE_LAYOUT
+
+
+@pytest.fixture(scope="module")
+def setup():
+    gen_cfg, gen_params = tiny_gen(resolution=32)
+    clip_models = tiny_clip_models()
+    arcface = tiny_arcface()
+    z = jax.random.normal(jax.random.PRNGKey(9), (12, gen_cfg.z_dim))
+    styles = w_to_s(gen_params, gen_cfg, mapping(gen_params, gen_cfg, z))
+    return gen_cfg, gen_params, clip_models, arcface, np.asarray(styles)
+
+
+def _fdc(**kw):
+    base = dict(resolution=32, batch_size=4, n_epochs=1,
+                learning_rate=0.5, clip_type="double",
+                arcface_layout=TINY_ARCFACE_LAYOUT, seed=0)
+    base.update(kw)
+    return FindDirectionConfig(**base)
+
+
+def test_cosine_lr_schedule():
+    assert cosine_lr(2.0, 1, 100) == pytest.approx(
+        np.cos(np.pi / 100) * 1.0 + 1.0)
+    assert cosine_lr(2.0, 100, 100) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_find_direction_runs_and_updates(setup):
+    gen_cfg, gen_params, clip_models, arcface, styles = setup
+    direction, info = find_direction(
+        gen_params, gen_cfg, styles, clip_models, arcface, _fdc(),
+        tokenizer=FallbackTokenizer())
+    direction = np.asarray(direction)
+    assert direction.shape == (1, N_STYLE_CHANNELS, 512)
+    assert np.isfinite(info["history"]).all()
+    trainable = list(S_TRAINABLE_SPACE_CHANNELS)
+    frozen = [i for i in range(N_STYLE_CHANNELS) if i not in trainable]
+    assert np.abs(direction[:, trainable]).max() > 0
+    assert np.abs(direction[:, frozen]).max() == 0
+    assert info["iterations"] == 3  # ceil(12/4) * 1 epoch
+
+
+def test_find_direction_data_parallel_matches_single(setup):
+    gen_cfg, gen_params, clip_models, arcface, styles = setup
+    fdc = _fdc(batch_size=8, clip_type="small")
+    d1, _ = find_direction(gen_params, gen_cfg, styles, clip_models, arcface,
+                           fdc, tokenizer=FallbackTokenizer())
+    mesh = data_mesh(max_size=8)
+    assert mesh.devices.size == 8
+    d2, _ = find_direction(gen_params, gen_cfg, styles, clip_models, arcface,
+                           fdc, tokenizer=FallbackTokenizer(), mesh=mesh)
+    # XLA reduction order differs across shardings; diffs amplify over SGD
+    # steps — this asserts agreement, not bit-exactness.
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=5e-2, atol=5e-3)
+
+
+def test_find_direction_nada_loss_type(setup):
+    gen_cfg, gen_params, clip_models, arcface, styles = setup
+    direction, info = find_direction(
+        gen_params, gen_cfg, styles, clip_models, arcface,
+        _fdc(clip_loss_type="nada", clip_type="small"),
+        tokenizer=FallbackTokenizer())
+    assert np.isfinite(info["history"]).all()
+
+
+def test_find_direction_resume(setup):
+    gen_cfg, gen_params, clip_models, arcface, styles = setup
+    fdc = _fdc(clip_type="small")
+    d1, _ = find_direction(gen_params, gen_cfg, styles, clip_models, arcface,
+                           fdc, tokenizer=FallbackTokenizer())
+    d2, _ = find_direction(gen_params, gen_cfg, styles, clip_models, arcface,
+                           fdc, tokenizer=FallbackTokenizer(),
+                           resume_direction=np.asarray(d1))
+    assert not np.allclose(np.asarray(d1), np.asarray(d2))
+
+
+# ----------------------------------------------------------------- mapper
+
+def test_mapper_apply_shapes():
+    params = init_mapper_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 8, 512))
+    out = mapper_apply(params, x)
+    assert out.shape == (3, 8, 512)
+    # coarse/medium halves are independent
+    x2 = x.at[:, 4:, :].set(0.0)
+    out2 = mapper_apply(params, x2)
+    np.testing.assert_allclose(np.asarray(out[:, :4]), np.asarray(out2[:, :4]),
+                               rtol=1e-5)
+
+
+def test_mapper_torch_state_roundtrip():
+    params = init_mapper_params(jax.random.PRNGKey(2))
+    state = params_to_torch_state(params)
+    assert "course_mapping.modulation_module_list.0.fc.weight" in state
+    params2 = params_from_torch_state(state)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 512))
+    np.testing.assert_allclose(np.asarray(mapper_apply(params, x)),
+                               np.asarray(mapper_apply(params2, x)), rtol=1e-6)
+
+
+def test_train_latent_mapper_runs(setup):
+    gen_cfg, gen_params, clip_models, arcface, styles = setup
+    mtc = MapperTrainConfig(
+        resolution=32, batch_size=4, n_epochs=1, learning_rate=1e-3,
+        clip_type="small", arcface_layout=TINY_ARCFACE_LAYOUT, seed=0)
+    p0 = init_mapper_params(jax.random.PRNGKey(0))
+    mp, info = train_latent_mapper(
+        gen_params, gen_cfg, styles, clip_models, arcface, mtc,
+        tokenizer=FallbackTokenizer(), resume_params=p0)
+    assert np.isfinite(info["history"]).all()
+    # parameters changed
+    w0 = np.asarray(p0["course_mapping"]["mod0"]["fc"]["weight"])
+    w1 = np.asarray(mp["course_mapping"]["mod0"]["fc"]["weight"])
+    assert not np.allclose(w0, w1)
+
+
+# ----------------------------------------------------------------- edit
+
+def test_apply_edit_batch(setup):
+    gen_cfg, gen_params, clip_models, arcface, styles = setup
+    direction = assemble_direction(
+        jnp.ones((1, 8, 512)) * 0.1)
+    orig, edited = apply_edit_batch(gen_params, gen_cfg,
+                                    jnp.asarray(styles[:4]), direction, 2.0)
+    assert orig.shape == edited.shape == (4, 3, 32, 32)
+    assert not np.allclose(np.asarray(orig), np.asarray(edited))
+    # change_power=0 → identical
+    orig0, edited0 = apply_edit_batch(gen_params, gen_cfg,
+                                      jnp.asarray(styles[:4]), direction, 0.0)
+    np.testing.assert_allclose(np.asarray(orig0), np.asarray(edited0))
+
+
+def test_mapper_direction_threshold_and_stoplist():
+    params = init_mapper_params(jax.random.PRNGKey(4))
+    styles_item = jax.random.normal(jax.random.PRNGKey(5),
+                                    (N_STYLE_CHANNELS, 512))
+    d_plain = np.asarray(mapper_direction(params, styles_item))
+    d_wl = np.asarray(mapper_direction(params, styles_item,
+                                       use_whitelist=True))
+    assert d_plain.shape == (1, N_STYLE_CHANNELS, 512)
+    # thresholding zeros small entries
+    small = np.abs(d_plain) < 0.1
+    assert (d_wl[small] == 0).all()
+    # stoplist flat indices zeroed
+    from stylemc_tpu.edit import STOPLIST_S_IDS
+    flat = d_wl.reshape(-1)
+    assert (flat[STOPLIST_S_IDS] == 0).all()
