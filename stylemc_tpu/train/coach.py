@@ -1,0 +1,397 @@
+"""e4e inversion-encoder trainer (the Coach).
+
+Behavioral contract: /root/reference/encoder4editing/training/coach.py —
+Ranger over the encoder (optionally + decoder), loss = adversarial(w
+discriminator, softplus) + progressive delta-norm reg + ID/MoCo + L2 +
+LPIPS (calc_loss, coach.py:232-278); latent-codes discriminator trained
+with softplus real/fake + lazy R1 every d_reg_every steps (:354-424);
+progressive stage advanced on a step schedule (:148-155); best-model and
+interval checkpointing; validation sweep.
+
+TPU-first: encoder and discriminator updates are each one jit graph; the
+progressive stage is a static int (stage changes recompile — 18 times over
+a full run, amortized to nothing). Data loading stays host-side numpy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.e4e.psp import PSP
+from ..models.e4e.encoders import style_count
+from ..models.e4e.discriminator import (discriminator_apply,
+                                        init_discriminator_params,
+                                        LatentCodesPool)
+from ..losses.lpips import lpips_loss
+from ..losses.moco import e4e_id_loss, moco_loss
+from ..losses.w_norm import w_norm_loss
+from ..models.stylegan2.generator import mapping as gen_mapping
+from .ranger import ranger
+
+
+@dataclasses.dataclass
+class CoachOptions:
+    """Mirrors TrainOptions defaults (reference options/train_options.py)."""
+    dataset_type: str = "ffhq_encode"
+    encoder_type: str = "Encoder4Editing"
+    batch_size: int = 4
+    test_batch_size: int = 2
+    learning_rate: float = 1e-4
+    optim_name: str = "ranger"
+    train_decoder: bool = False
+    start_from_latent_avg: bool = True
+    lpips_type: str = "alex"
+    lpips_lambda: float = 0.8
+    id_lambda: float = 0.1
+    l2_lambda: float = 1.0
+    w_norm_lambda: float = 0.0
+    stylegan_size: int = 1024
+    max_steps: int = 500000
+    board_interval: int = 50
+    val_interval: int = 1000
+    save_interval: Optional[int] = None
+    w_discriminator_lambda: float = 0.0
+    w_discriminator_lr: float = 2e-5
+    r1: float = 10.0
+    d_reg_every: int = 16
+    use_w_pool: bool = False
+    w_pool_size: int = 50
+    delta_norm: int = 2
+    delta_norm_lambda: float = 2e-4
+    progressive_steps: Optional[List[int]] = None
+    progressive_start: Optional[int] = None
+    progressive_step_every: int = 2000
+    exp_dir: str = "experiments/e4e"
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.progressive_start is not None:
+            n = style_count(self.stylegan_size)
+            self.progressive_steps = [0] + [
+                self.progressive_start + i * self.progressive_step_every
+                for i in range(n - 1)]
+        if self.save_interval is None:
+            self.save_interval = self.max_steps
+
+
+class Coach:
+    """Host-side training driver around two jit'd steps.
+
+    psp: PSP bundle (encoder trainable; decoder frozen unless train_decoder).
+    perception: {'lpips': params, 'arcface'|'moco': params} as configured.
+    train_iter / test_iter: callables -> (x, y) numpy batches in [-1,1] NCHW.
+    """
+
+    def __init__(self, opts: CoachOptions, psp: PSP,
+                 perception: Dict[str, Any],
+                 train_iter: Callable, test_iter: Optional[Callable] = None,
+                 arcface_layout=None):
+        self.opts = opts
+        self.psp = psp
+        self.perception = perception
+        self.train_iter = train_iter
+        self.test_iter = test_iter
+        self.arcface_layout = arcface_layout
+        self.global_step = 0
+        self.best_val_loss = None
+
+        self.optimizer = self._make_optimizer()
+        self.opt_state = self.optimizer.init(self._trainable())
+
+        self.discriminator_params = None
+        if opts.w_discriminator_lambda > 0:
+            self.discriminator_params = init_discriminator_params(
+                jax.random.PRNGKey(opts.seed + 1))
+            self.d_optimizer = optax.adam(opts.w_discriminator_lr)
+            self.d_opt_state = self.d_optimizer.init(self.discriminator_params)
+            self.real_w_pool = LatentCodesPool(opts.w_pool_size)
+            self.fake_w_pool = LatentCodesPool(opts.w_pool_size)
+
+        self._step_cache: Dict[int, Callable] = {}
+        self._d_step_cache: Dict[bool, Callable] = {}
+        self._rng = np.random.RandomState(opts.seed)
+
+    # ------------------------------------------------------------- plumbing
+
+    def _trainable(self):
+        if self.opts.train_decoder:
+            return {"encoder": self.psp.encoder_params,
+                    "decoder": self.psp.decoder_params}
+        return {"encoder": self.psp.encoder_params}
+
+    def _install(self, trainable):
+        self.psp.encoder_params = trainable["encoder"]
+        if self.opts.train_decoder:
+            self.psp.decoder_params = trainable["decoder"]
+
+    def _make_optimizer(self):
+        if self.opts.optim_name == "ranger":
+            return ranger(self.opts.learning_rate)
+        return optax.adam(self.opts.learning_rate)
+
+    def progressive_stage(self) -> int:
+        """Stage index for the current global step (coach.py:148-155)."""
+        if not self.opts.progressive_steps:
+            return 18
+        stage = 0
+        for i, s in enumerate(self.opts.progressive_steps):
+            if self.global_step >= s:
+                stage = i
+        return stage
+
+    def get_dims_to_discriminate(self) -> List[int]:
+        n = style_count(self.opts.stylegan_size)
+        if self.opts.progressive_steps:
+            return list(range(min(self.progressive_stage() + 1, n)))
+        return list(range(n))
+
+    def is_training_discriminator(self) -> bool:
+        return self.opts.w_discriminator_lambda > 0
+
+    # ----------------------------------------------------------- loss graph
+
+    def _calc_loss(self, trainable, x, y, stage, disc_params):
+        opts = self.opts
+        psp = dataclasses.replace(
+            self.psp, encoder_params=trainable["encoder"],
+            decoder_params=trainable.get("decoder", self.psp.decoder_params))
+        codes = psp.encode(x, progressive_stage=stage)
+        y_hat = psp.decode(codes, resize=True, noise_mode="const")
+        latent = codes
+
+        loss = 0.0
+        loss_dict = {}
+        if self.is_training_discriminator():
+            dims = self.get_dims_to_discriminate()
+            loss_disc = 0.0
+            for i in dims:
+                fake_pred = discriminator_apply(disc_params, latent[:, i, :])
+                loss_disc += jnp.mean(jax.nn.softplus(-fake_pred))
+            loss_disc = loss_disc / len(dims)
+            loss_dict["encoder_discriminator_loss"] = loss_disc
+            loss += opts.w_discriminator_lambda * loss_disc
+
+        if opts.progressive_steps and stage != 18:
+            first_w = latent[:, 0, :]
+            total_delta = 0.0
+            n = style_count(opts.stylegan_size)
+            for i in range(1, min(stage + 1, n)):
+                delta = latent[:, i, :] - first_w
+                total_delta += jnp.mean(
+                    jnp.linalg.norm(delta, ord=opts.delta_norm, axis=1))
+            loss_dict["total_delta_loss"] = total_delta
+            loss += opts.delta_norm_lambda * total_delta
+
+        if opts.id_lambda > 0:
+            if "arcface" in self.perception:
+                loss_id, sim = e4e_id_loss(self.perception["arcface"],
+                                           y_hat, y, x, self.arcface_layout)
+            else:
+                loss_id, sim = moco_loss(self.perception["moco"], y_hat, y, x)
+            loss_dict["loss_id"] = loss_id
+            loss_dict["id_improve"] = sim
+            loss += loss_id * opts.id_lambda
+        if opts.l2_lambda > 0:
+            loss_l2 = jnp.mean(jnp.square(y_hat - y))
+            loss_dict["loss_l2"] = loss_l2
+            loss += loss_l2 * opts.l2_lambda
+        if opts.lpips_lambda > 0:
+            loss_lp = lpips_loss(self.perception["lpips"], y_hat, y,
+                                 self.opts.lpips_type)
+            loss_dict["loss_lpips"] = loss_lp
+            loss += loss_lp * opts.lpips_lambda
+        if opts.w_norm_lambda > 0:
+            loss_w = w_norm_loss(latent, psp.latent_avg,
+                                 opts.start_from_latent_avg)
+            loss_dict["loss_w_norm"] = loss_w
+            loss += loss_w * opts.w_norm_lambda
+        loss_dict["loss"] = loss
+        return loss, (loss_dict, y_hat, latent)
+
+    def _get_step_fn(self, stage: int):
+        if stage in self._step_cache:
+            return self._step_cache[stage]
+
+        @jax.jit
+        def step(trainable, opt_state, x, y, disc_params):
+            (loss, (loss_dict, y_hat, latent)), grads = jax.value_and_grad(
+                self._calc_loss, has_aux=True)(trainable, x, y, stage,
+                                               disc_params)
+            updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                       trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return trainable, opt_state, loss_dict, y_hat, latent
+
+        self._step_cache[stage] = step
+        return step
+
+    # -------------------------------------------------------- discriminator
+
+    def _d_loss(self, disc_params, real_w, fake_w):
+        real_pred = discriminator_apply(disc_params, real_w)
+        fake_pred = discriminator_apply(disc_params, fake_w)
+        real_loss = jnp.mean(jax.nn.softplus(-real_pred))
+        fake_loss = jnp.mean(jax.nn.softplus(fake_pred))
+        return real_loss + fake_loss, (real_loss, fake_loss)
+
+    def _get_d_step_fn(self, regularize: bool):
+        if regularize in self._d_step_cache:
+            return self._d_step_cache[regularize]
+        opts = self.opts
+
+        @jax.jit
+        def d_step(disc_params, d_opt_state, real_w, fake_w):
+            (loss, (rl, fl)), grads = jax.value_and_grad(
+                self._d_loss, has_aux=True)(disc_params, real_w, fake_w)
+            updates, d_opt_state = self.d_optimizer.update(grads, d_opt_state,
+                                                           disc_params)
+            disc_params = optax.apply_updates(disc_params, updates)
+            out = {"discriminator_loss": loss, "d_real_loss": rl,
+                   "d_fake_loss": fl}
+            if regularize:
+                def real_sum(w):
+                    return jnp.sum(discriminator_apply(disc_params, w))
+
+                grad_real = jax.grad(real_sum)(real_w)
+                r1 = jnp.mean(jnp.sum(
+                    jnp.square(grad_real).reshape(real_w.shape[0], -1), axis=1))
+                r1_loss = opts.r1 / 2 * r1 * opts.d_reg_every
+
+                def r1_obj(dp):
+                    g = jax.grad(lambda w: jnp.sum(
+                        discriminator_apply(dp, w)))(real_w)
+                    pen = jnp.mean(jnp.sum(
+                        jnp.square(g).reshape(real_w.shape[0], -1), axis=1))
+                    return opts.r1 / 2 * pen * opts.d_reg_every
+
+                r1_grads = jax.grad(r1_obj)(disc_params)
+                updates, d_opt_state = self.d_optimizer.update(
+                    r1_grads, d_opt_state, disc_params)
+                disc_params = optax.apply_updates(disc_params, updates)
+                out["discriminator_r1_loss"] = r1_loss
+            return disc_params, d_opt_state, out
+
+        self._d_step_cache[regularize] = d_step
+        return d_step
+
+    def sample_real_and_fake_latents(self, x):
+        """coach.py:426-439: real w from the decoder mapping on random z;
+        fake w from the encoder (first row under progressive training)."""
+        z = jnp.asarray(self._rng.randn(x.shape[0], 512), jnp.float32)
+        real_wplus = gen_mapping(self.psp.decoder_params, self.psp.decoder_cfg,
+                                 z)
+        real_w = real_wplus[:, 0, :]
+        fake_w = self.psp.encode(jnp.asarray(x),
+                                 progressive_stage=self.progressive_stage())
+        if self.opts.progressive_steps:
+            dims = self.get_dims_to_discriminate()
+            fake_w = fake_w[:, dims, :]
+        if self.opts.use_w_pool:
+            real_w = jnp.asarray(self.real_w_pool.query(real_w))
+            fake_w = jnp.asarray(self.fake_w_pool.query(fake_w))
+        if fake_w.ndim == 3:
+            fake_w = fake_w[:, 0, :]
+        return real_w, fake_w
+
+    def train_discriminator(self, x):
+        real_w, fake_w = self.sample_real_and_fake_latents(x)
+        real_w = jax.lax.stop_gradient(real_w)
+        fake_w = jax.lax.stop_gradient(fake_w)
+        d_step = self._get_d_step_fn(self.global_step % self.opts.d_reg_every == 0)
+        self.discriminator_params, self.d_opt_state, out = d_step(
+            self.discriminator_params, self.d_opt_state, real_w, fake_w)
+        return {k: float(v) for k, v in out.items()}
+
+    # ------------------------------------------------------------ main loop
+
+    def train_step(self, x, y) -> Dict[str, float]:
+        loss_dict = {}
+        if self.is_training_discriminator():
+            loss_dict = self.train_discriminator(x)
+        step = self._get_step_fn(self.progressive_stage())
+        trainable = self._trainable()
+        trainable, self.opt_state, enc_dict, y_hat, latent = step(
+            trainable, self.opt_state, jnp.asarray(x), jnp.asarray(y),
+            self.discriminator_params)
+        self._install(trainable)
+        loss_dict.update({k: float(v) for k, v in enc_dict.items()})
+        self.global_step += 1
+        return loss_dict
+
+    def train(self, callback: Optional[Callable] = None):
+        while self.global_step < self.opts.max_steps:
+            x, y = self.train_iter()
+            loss_dict = self.train_step(x, y)
+            if callback is not None:
+                callback(self.global_step, loss_dict)
+            if self.test_iter is not None and \
+                    self.global_step % self.opts.val_interval == 0:
+                val = self.validate()
+                if self.best_val_loss is None or val["loss"] < self.best_val_loss:
+                    self.best_val_loss = val["loss"]
+
+    def validate(self, n_batches: int = 4) -> Dict[str, float]:
+        agg: Dict[str, List[float]] = {}
+        stage = self.progressive_stage()
+        for _ in range(n_batches):
+            x, y = self.test_iter()
+            loss, (loss_dict, _, _) = self._calc_loss(
+                self._trainable(), jnp.asarray(x), jnp.asarray(y), stage,
+                self.discriminator_params)
+            for k, v in loss_dict.items():
+                agg.setdefault(k, []).append(float(v))
+        return {k: float(np.mean(v)) for k, v in agg.items()}
+
+    # ---------------------------------------------------------- checkpoints
+
+    def save_checkpoint(self, path: str):
+        """Full train state (net + optimizer + discriminator + step), the
+        reference's __get_save_dict analogue (coach.py:323-340), as an npz
+        pytree bundle."""
+        import pickle
+        state = {
+            "global_step": self.global_step,
+            "best_val_loss": self.best_val_loss,
+            "encoder_params": jax.tree_util.tree_map(np.asarray,
+                                                     self.psp.encoder_params),
+            "decoder_params": jax.tree_util.tree_map(np.asarray,
+                                                     self.psp.decoder_params),
+            "latent_avg": None if self.psp.latent_avg is None
+            else np.asarray(self.psp.latent_avg),
+            "opt_state": jax.tree_util.tree_map(np.asarray, self.opt_state),
+            "opts": dataclasses.asdict(self.opts),
+        }
+        if self.discriminator_params is not None:
+            state["discriminator_params"] = jax.tree_util.tree_map(
+                np.asarray, self.discriminator_params)
+            state["d_opt_state"] = jax.tree_util.tree_map(np.asarray,
+                                                          self.d_opt_state)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    def load_checkpoint(self, path: str):
+        import pickle
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.global_step = state["global_step"]
+        self.best_val_loss = state["best_val_loss"]
+        self.psp.encoder_params = jax.tree_util.tree_map(
+            jnp.asarray, state["encoder_params"])
+        self.psp.decoder_params = jax.tree_util.tree_map(
+            jnp.asarray, state["decoder_params"])
+        if state.get("latent_avg") is not None:
+            self.psp.latent_avg = jnp.asarray(state["latent_avg"])
+        self.opt_state = jax.tree_util.tree_map(jnp.asarray, state["opt_state"])
+        if "discriminator_params" in state:
+            self.discriminator_params = jax.tree_util.tree_map(
+                jnp.asarray, state["discriminator_params"])
+            self.d_opt_state = jax.tree_util.tree_map(jnp.asarray,
+                                                      state["d_opt_state"])

@@ -1,0 +1,218 @@
+"""e4e training stack: ranger, lpips, criteria, discriminator, coach loop,
+editings."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import optax
+
+from stylemc_tpu.train.ranger import ranger, gradient_centralization, lookahead
+from stylemc_tpu.losses.lpips import init_lpips_params, lpips_loss
+from stylemc_tpu.losses.w_norm import w_norm_loss
+from stylemc_tpu.losses.moco import e4e_id_loss
+from stylemc_tpu.models.e4e.discriminator import (
+    init_discriminator_params, discriminator_apply, LatentCodesPool,
+)
+from stylemc_tpu.models.e4e.editings import (
+    apply_interfacegan, apply_ganspace, sefa_factorize, apply_sefa,
+)
+from stylemc_tpu.models.e4e.psp import PSP, PSPConfig
+from stylemc_tpu.models.e4e.encoders import init_encoder_params
+from stylemc_tpu.models.stylegan2.generator import (
+    GeneratorConfig, init_generator_params,
+)
+from stylemc_tpu.train.coach import Coach, CoachOptions
+from tiny import tiny_arcface, TINY_ARCFACE_LAYOUT
+
+
+# ----------------------------------------------------------------- ranger
+
+def test_gradient_centralization():
+    gc = gradient_centralization()
+    g2d = jnp.ones((4, 8))
+    g1d = jnp.ones((4,))
+    updates, _ = gc.update({"a": g2d, "b": g1d}, gc.init(None))
+    np.testing.assert_allclose(np.asarray(updates["a"]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(updates["b"]), 1.0)
+
+
+def test_lookahead_syncs_every_k():
+    opt = optax.chain(optax.scale(-0.1), lookahead(k=2, alpha=0.5))
+    params = {"w": jnp.zeros(())}
+    state = opt.init(params)
+    grads = {"w": jnp.ones(())}
+    # step 1: fast only: w = -0.1
+    u, state = opt.update(grads, state, params)
+    params = optax.apply_updates(params, u)
+    np.testing.assert_allclose(float(params["w"]), -0.1, rtol=1e-6)
+    # step 2: fast w = -0.2; sync: slow = 0 + 0.5*(-0.2-0) = -0.1 → w=-0.1
+    u, state = opt.update(grads, state, params)
+    params = optax.apply_updates(params, u)
+    np.testing.assert_allclose(float(params["w"]), -0.1, rtol=1e-6)
+
+
+def test_ranger_decreases_loss():
+    opt = ranger(5e-2)
+    params = {"w": jnp.asarray(2.0)}
+    state = opt.init(params)
+
+    def loss_fn(p):
+        return (p["w"] - 1.0) ** 2
+
+    losses = []
+    for _ in range(200):
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        u, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, u)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5
+
+
+# ------------------------------------------------------------------ lpips
+
+def test_lpips_zero_for_identical():
+    p = init_lpips_params(jax.random.PRNGKey(0), "alex")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64)) * 0.5
+    np.testing.assert_allclose(float(lpips_loss(p, x, x, "alex")), 0.0,
+                               atol=1e-6)
+
+
+def test_lpips_positive_and_grad():
+    p = init_lpips_params(jax.random.PRNGKey(0), "vgg")
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 64, 64)) * 0.5
+    y = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 64, 64)) * 0.5
+    val, g = jax.value_and_grad(
+        lambda a: lpips_loss(p, a, y, "vgg"))(x)
+    assert float(val) > 0
+    assert np.isfinite(np.asarray(g)).all()
+
+
+# --------------------------------------------------------------- criteria
+
+def test_w_norm_loss():
+    latent = jnp.ones((2, 14, 512))
+    avg = jnp.ones((14, 512))
+    np.testing.assert_allclose(float(w_norm_loss(latent, avg)), 0.0)
+    assert float(w_norm_loss(latent, None, start_from_latent_avg=False)) > 0
+
+
+def test_e4e_id_loss():
+    arc = tiny_arcface()
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 256, 256)) * 0.3
+    loss, sim = e4e_id_loss(arc, x, x, x, TINY_ARCFACE_LAYOUT)
+    np.testing.assert_allclose(float(loss), 0.0, atol=1e-5)
+    np.testing.assert_allclose(float(sim), 0.0, atol=1e-5)
+
+
+# ----------------------------------------------------------- discriminator
+
+def test_discriminator_and_pool():
+    p = init_discriminator_params(jax.random.PRNGKey(0))
+    w = jax.random.normal(jax.random.PRNGKey(1), (4, 512))
+    out = discriminator_apply(p, w)
+    assert out.shape == (4, 1)
+
+    pool = LatentCodesPool(8)
+    ws = np.random.randn(4, 512).astype(np.float32)
+    got = pool.query(ws)
+    assert got.shape == (4, 512)
+    got2 = pool.query(np.random.randn(4, 14, 512).astype(np.float32))
+    assert got2.shape == (4, 512)
+
+
+# ----------------------------------------------------------------- editings
+
+def test_interfacegan():
+    latent = jnp.zeros((1, 14, 512))
+    direction = jnp.ones((1, 14, 512))
+    out = apply_interfacegan(latent, direction, factor=2.0)
+    np.testing.assert_allclose(np.asarray(out), 2.0)
+    sweep = apply_interfacegan(latent, direction, factor_range=(-2, 3))
+    assert sweep.shape == (5, 14, 512)
+
+
+def test_ganspace():
+    pca = {"mean": jnp.zeros((512,)),
+           "comp": jnp.eye(512)[:10],
+           "std": jnp.ones((10,))}
+    latents = jnp.ones((1, 14, 512)) * 0.1
+    out = apply_ganspace(latents, pca, [(0, 2, 6, 5.0)])
+    assert out.shape == (1, 14, 512)
+    # rows outside [2, 6) unchanged
+    np.testing.assert_allclose(np.asarray(out[0, 0]), 0.1, rtol=1e-5)
+    assert not np.allclose(np.asarray(out[0, 3]), 0.1)
+
+
+def test_sefa():
+    cfg = GeneratorConfig(img_resolution=32, channel_base=1024, channel_max=64,
+                          mapping_layers=2)
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    layers, boundaries, values = sefa_factorize(params)
+    assert boundaries.shape[0] == boundaries.shape[1] == 512
+    latents = jnp.zeros((1, cfg.num_ws, 512))
+    out = apply_sefa(params, latents, indices=(2, 3), step=3)
+    assert out.shape == (3, cfg.num_ws, 512)
+
+
+# -------------------------------------------------------------------- coach
+
+@pytest.fixture(scope="module")
+def tiny_coach():
+    gen_cfg = GeneratorConfig(img_resolution=256, channel_base=512,
+                              channel_max=32, mapping_layers=2,
+                              conv_clamp=None)
+    gen_params = init_generator_params(jax.random.PRNGKey(0), gen_cfg)
+    enc_params = init_encoder_params(jax.random.PRNGKey(1), stylegan_size=256)
+    psp = PSP(cfg=PSPConfig(stylegan_size=256), encoder_params=enc_params,
+              decoder_cfg=gen_cfg, decoder_params=gen_params,
+              latent_avg=jnp.zeros((14, 512)))
+    perception = {"lpips": init_lpips_params(jax.random.PRNGKey(2), "alex"),
+                  "arcface": tiny_arcface()}
+
+    rng = np.random.RandomState(0)
+
+    def train_iter():
+        x = rng.randn(2, 3, 256, 256).astype(np.float32) * 0.3
+        return x, x.copy()
+
+    opts = CoachOptions(batch_size=2, max_steps=2, stylegan_size=256,
+                        w_discriminator_lambda=0.1, progressive_start=1,
+                        progressive_step_every=1, id_lambda=0.1,
+                        lpips_lambda=0.8, l2_lambda=1.0)
+    return Coach(opts, psp, perception, train_iter, test_iter=train_iter,
+                 arcface_layout=TINY_ARCFACE_LAYOUT)
+
+
+def test_coach_progressive_schedule(tiny_coach):
+    coach = tiny_coach
+    assert coach.opts.progressive_steps[0] == 0
+    assert coach.progressive_stage() == 0
+    assert coach.get_dims_to_discriminate() == [0]
+
+
+def test_coach_train_steps(tiny_coach):
+    coach = tiny_coach
+    x, y = coach.train_iter()
+    d = coach.train_step(x, y)
+    assert np.isfinite(d["loss"])
+    assert "loss_l2" in d and "loss_lpips" in d and "loss_id" in d
+    assert "discriminator_loss" in d
+    assert "encoder_discriminator_loss" in d
+    # second step advances the progressive stage (progressive_start=1)
+    d2 = coach.train_step(x, y)
+    assert coach.progressive_stage() >= 1
+    assert "total_delta_loss" in d2
+    assert np.isfinite(d2["loss"])
+
+
+def test_coach_checkpoint_roundtrip(tiny_coach, tmp_path):
+    coach = tiny_coach
+    path = str(tmp_path / "ckpt.pkl")
+    coach.save_checkpoint(path)
+    step0 = coach.global_step
+    coach.global_step = 999
+    coach.load_checkpoint(path)
+    assert coach.global_step == step0
