@@ -21,7 +21,7 @@ from stylemc_tpu.models.stylegan2.generator import (
 
 V100_REFERENCE_IMGS_PER_SEC = 60.0  # documented estimate, see module docstring
 
-BATCH = 16
+BATCH = 64
 WARMUP = 3
 ITERS = 20
 

@@ -270,6 +270,9 @@ def generator_from_stub(stub: PersistentStub) -> Tuple[GeneratorConfig, Dict]:
 
 
 def load_generator(path, key: str = "G_ema") -> Tuple[GeneratorConfig, Dict]:
+    if isinstance(path, str) and path.endswith(".npz"):
+        from .native import load_native
+        return load_native(path)
     data = load_network_pkl(path)
     stub = data[key]
     assert isinstance(stub, PersistentStub), f"{key} is not a persistent network"

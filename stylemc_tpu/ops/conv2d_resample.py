@@ -24,6 +24,31 @@ from jax import lax
 from .upfirdn2d import _parse_padding, _get_filter_size, upfirdn2d, _pad_dilate
 
 
+def _compose_kernel_with_fir(wk, f, gain: float, flip_filter: bool):
+    """Compose a conv kernel with the FIR filter that would follow it.
+
+    C(C(u, a), b) == C(u, a ⊛ b) for valid correlations, where a ⊛ b is the
+    full 2D convolution of the kernels. `b` is the FIR exactly as upfirdn2d
+    would apply it: scaled by gain**(ndim/2), flipped unless flip_filter.
+    """
+    if f.ndim == 1:
+        f = jnp.outer(f, f)
+    b = f * (gain ** (f.ndim / 2))
+    if not flip_filter:
+        b = jnp.flip(b, axis=(0, 1))
+    o, i, kh, kw = wk.shape
+    fh, fw = b.shape
+    # full convolution of each (o,i) plane with b == correlation of the
+    # (fh-1, fw-1)-padded plane with flip(b)
+    a = wk.reshape(o * i, 1, kh, kw)
+    rhs = jnp.flip(b, axis=(0, 1))[None, None].astype(wk.dtype)
+    m = lax.conv_general_dilated(
+        a, rhs, window_strides=(1, 1),
+        padding=((fh - 1, fh - 1), (fw - 1, fw - 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return m.reshape(o, i, kh + fh - 1, kw + fw - 1)
+
+
 def conv2d_resample(x, w, f=None, up: int = 1, down: int = 1, padding=0,
                     groups: int = 1, flip_weight: bool = True,
                     flip_filter: bool = False):
@@ -55,12 +80,28 @@ def conv2d_resample(x, w, f=None, up: int = 1, down: int = 1, padding=0,
     dn = ("NCHW", "OIHW", "NCHW")
 
     if up > 1:
-        # Main conv directly on the (virtually) zero-upsampled input.
+        # Main conv directly on the (virtually) zero-upsampled input. The FIR
+        # is COMPOSED into the conv kernel (valid correlations compose as the
+        # full 2D convolution of their kernels): one MXU conv replaces
+        # conv + bandwidth-bound depthwise FIR. 3x3 ⊛ 4x4 → 6x6; XLA's
+        # polyphase decomposition of lhs_dilation keeps the FLOPs at the
+        # 4-subconv level.
+        # NOTE: expressing the zero-insertion via native conv lhs_dilation is
+        # semantically identical but compiles pathologically slowly on the
+        # remote TPU toolchain; the explicit lax.pad below is folded into the
+        # convolution by XLA's algebraic simplifier and runs at the same
+        # speed with ~20x faster compiles.
+        fuse = f is not None and down == 1 and groups == 1
+        if fuse:
+            wk = _compose_kernel_with_fir(wk, f, gain=up ** 2,
+                                          flip_filter=flip_filter)
         x = _pad_dilate(x, (up, up), (px0, px1, py0, py1))
         x = lax.conv_general_dilated(
             x, wk, window_strides=(1, 1), padding="VALID",
             feature_group_count=groups, dimension_numbers=dn,
         )
+        if fuse:
+            return x
         x = upfirdn2d(x, f, gain=up ** 2, flip_filter=flip_filter)
         if down > 1:
             x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
