@@ -29,9 +29,13 @@ from .nets import pnet_apply, rnet_apply, onet_apply, load_net_weights
 
 def nms(boxes: np.ndarray, overlap_threshold: float = 0.5,
         mode: str = "union") -> List[int]:
-    """reference box_utils.py:5-68."""
+    """reference box_utils.py:5-68. Native C++ fast path when available."""
     if len(boxes) == 0:
         return []
+    from ...native import nms_native
+    keep = nms_native(np.asarray(boxes, np.float32), overlap_threshold, mode)
+    if keep is not None:
+        return keep
     pick = []
     x1, y1, x2, y2, score = [boxes[:, i] for i in range(5)]
     area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
@@ -124,7 +128,14 @@ def _resize_bilinear_pil(arr: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
 
 def get_image_boxes(bounding_boxes, img_array: np.ndarray,
                     size: int = 24) -> np.ndarray:
-    """Cut out boxes, zero-pad at borders, resize (box_utils.py:127-159)."""
+    """Cut out boxes, zero-pad at borders, resize (box_utils.py:127-159).
+    Native C++ fast path when available."""
+    from ...native import extract_image_boxes_native
+    native = extract_image_boxes_native(img_array,
+                                        np.asarray(bounding_boxes, np.float32),
+                                        size)
+    if native is not None:
+        return native
     num_boxes = len(bounding_boxes)
     height, width = img_array.shape[:2]
     dy, edy, dx, edx, y, ey, x, ex, w, h = correct_bboxes(

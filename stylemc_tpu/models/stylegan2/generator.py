@@ -47,7 +47,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops import bias_act, modulated_conv2d, setup_filter, upsample2d
+from ...ops import (bias_act, modulated_conv2d, setup_filter,
+                    setup_filter_np, upsample2d)
 
 # Packed S-space layout: 26 rows of width 512 — 2 rows for b4 (conv1, torgb)
 # + 3 rows (conv0, conv1, torgb) per upper block, sized for a 1024-res
@@ -321,7 +322,7 @@ def synthesis(params, cfg: GeneratorConfig, styles, until_k: Optional[int] = Non
       return_features: also return the per-block feature list `xs`.
     """
     n = styles.shape[0]
-    filt = setup_filter(cfg.resample_filter)
+    filt = setup_filter_np(cfg.resample_filter)  # numpy: static for pallas
     temp_shapes = cfg.temp_shapes()
 
     x = None
@@ -369,9 +370,11 @@ def synthesis(params, cfg: GeneratorConfig, styles, until_k: Optional[int] = Non
                     m = m.astype(x.dtype)
                     x = m * xs_original[k].astype(x.dtype) + (1 - m) * x
 
-        # skip-architecture ToRGB chain
+        # skip-architecture ToRGB chain (Pallas polyphase kernel on TPU,
+        # XLA fallback elsewhere)
         if img is not None:
-            img = upsample2d(img, filt)
+            from ...ops.pallas.upfirdn2d_pallas import upsample2d_pallas
+            img = upsample2d_pallas(img, filt)
         y = _torgb_layer(bp["torgb"], x, s_torgb, conv_clamp=cfg.conv_clamp)
         img = y if img is None else img + y
         xs.append(x)

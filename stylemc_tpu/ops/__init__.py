@@ -1,5 +1,6 @@
 from .upfirdn2d import (
     setup_filter,
+    setup_filter_np,
     upfirdn2d,
     filter2d,
     upsample2d,
@@ -11,6 +12,7 @@ from .modulated_conv import modulated_conv2d
 
 __all__ = [
     "setup_filter",
+    "setup_filter_np",
     "upfirdn2d",
     "filter2d",
     "upsample2d",

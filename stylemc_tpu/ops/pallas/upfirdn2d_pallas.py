@@ -158,6 +158,7 @@ def upsample2d_pallas(x, f, up: int = 2, padding=0, flip_filter: bool = False,
     usable = (
         up == 2 and padding == 0 and h * w <= _MAX_PLANE
         and h % 8 == 0 and w % 128 == 0
+        and jax.default_backend() == "tpu"
     )
     taps = _canonical_taps(np.asarray(f), gain * up * up, flip_filter) \
         if usable else None
@@ -198,6 +199,7 @@ def downsample2d_pallas(x, f, down: int = 2, padding=0,
     usable = (
         down == 2 and padding == 0 and h * w <= 4 * _MAX_PLANE
         and h % 16 == 0 and w % 256 == 0
+        and jax.default_backend() == "tpu"
     )
     taps = _canonical_taps(np.asarray(f), gain, flip_filter) if usable else None
     if taps is None:

@@ -87,6 +87,28 @@ def setup_filter(f, normalize=True, flip_filter=False, gain=1, separable=None):
     return f
 
 
+def setup_filter_np(f, normalize=True, flip_filter=False, gain=1,
+                    separable=None) -> np.ndarray:
+    """setup_filter computed in numpy — stays concrete inside jit traces
+    (needed by the Pallas dispatch, whose tap extraction is static)."""
+    if f is None:
+        f = 1
+    f = np.asarray(f, dtype=np.float32)
+    assert f.ndim in (0, 1, 2) and f.size > 0
+    if f.ndim == 0:
+        f = f[np.newaxis]
+    if separable is None:
+        separable = f.ndim == 1 and f.size >= 8
+    if f.ndim == 1 and not separable:
+        f = np.outer(f, f)
+    if normalize:
+        f = f / f.sum()
+    if flip_filter:
+        f = f[tuple(slice(None, None, -1) for _ in range(f.ndim))]
+    f = f * (gain ** (f.ndim / 2))
+    return f.astype(np.float32)
+
+
 def _pad_dilate(x, up, padding):
     """Zero-upsample by `up` and pad/crop, as one lax.pad.
 
