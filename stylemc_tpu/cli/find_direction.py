@@ -93,14 +93,27 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt,
         print(f"Iteration {it}, gradient norm: {grad_norm:.4f}, lr {lr:.4f}")
         print(f"Total loss: {loss:.4f}, clip loss: {aux['clip_loss']:.4f}, "
               f"identity loss: {aux['identity_loss']:.4f}, "
+              f"landmarks loss: {aux.get('landmarks_loss', 0.0):.4f}, "
               f"l2 loss: {aux['l2_loss']:.4f}")
         if it % 1000 == 990:
             np.savez(f"{outdir}/direction_last.npz", s=np.asarray(direction))
 
+    # landmarks metric (logging-only, zero-gradient parity with reference)
+    landmarks_metric_fn = None
+    if landmarks_loss_coef != 0:
+        try:
+            from ..cv.landmarks import default_landmarker
+            from ..train.find_direction import make_landmarks_metric_fn
+            landmarks_metric_fn = make_landmarks_metric_fn(
+                params, cfg, fdc, default_landmarker())
+        except FileNotFoundError:
+            print("landmark model weights unavailable — landmarks metric "
+                  "reported as 0 (it carries no gradient either way)")
+
     direction, info = find_direction(
         params, cfg, styles_array, clip_models, arcface_params, fdc,
         tokenizer=tokenizer, mesh=mesh, resume_direction=resume_direction,
-        callback=callback)
+        callback=callback, landmarks_metric_fn=landmarks_metric_fn)
 
     np.savez(f"{outdir}/direction_{prompt_tag}.npz", s=np.asarray(direction))
     print("time passed:", time.time() - t1)

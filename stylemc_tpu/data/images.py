@@ -62,6 +62,30 @@ class ImagesDataset:
         return x, y
 
 
+def infinite_sampler(dataset_size: int, rank: int = 0, num_replicas: int = 1,
+                     shuffle: bool = True, seed: int = 0,
+                     window_size: float = 0.5):
+    """Infinite rank-strided index stream with windowed shuffling
+    (reference torch_utils/misc.py:109-140)."""
+    assert dataset_size > 0
+    order = np.arange(dataset_size)
+    rnd = None
+    window = 0
+    if shuffle:
+        rnd = np.random.RandomState(seed)
+        rnd.shuffle(order)
+        window = int(np.rint(order.size * window_size))
+    idx = 0
+    while True:
+        i = idx % order.size
+        if idx % num_replicas == rank:
+            yield int(order[i])
+        if window >= 2:
+            j = (i - rnd.randint(window)) % order.size
+            order[i], order[j] = order[j], order[i]
+        idx += 1
+
+
 def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
                    flip: bool = False, seed: int = 0) -> Callable:
     """→ callable returning (x, y) numpy batches forever (drop_last)."""

@@ -325,8 +325,18 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
                 delta_s, opt_state, styles, id_f, clip_f)
 
             if callback is not None and cur_iteration % 10 == 0:
-                callback(cur_iteration, float(loss),
-                         {k: float(v) for k, v in aux.items()},
+                aux_out = {k: float(v) for k, v in aux.items()}
+                # Landmarks metric: zero-gradient in the reference (no_grad +
+                # PIL round-trip, find_direction.py:90-141) — reproduced as a
+                # host-side logging-only term when a landmarker is supplied.
+                if (landmarks_metric_fn is not None
+                        and fdc.landmarks_loss_coef != 0):
+                    aux_out["landmarks_loss"] = fdc.landmarks_loss_coef * \
+                        float(landmarks_metric_fn(
+                            assemble_direction(delta_s), styles))
+                else:
+                    aux_out.setdefault("landmarks_loss", 0.0)
+                callback(cur_iteration, float(loss), aux_out,
                          lr, float(grad_norm), assemble_direction(delta_s))
             history.append(float(loss))
 
@@ -340,3 +350,34 @@ def assemble_direction(delta_s) -> jnp.ndarray:
     """[1, 8, 512] trainable rows → full [1, 26, 512] direction."""
     direction = jnp.zeros((1, N_STYLE_CHANNELS, STYLE_DIM), jnp.float32)
     return direction.at[:, TRAINABLE].set(delta_s)
+
+
+def make_landmarks_metric_fn(gen_params, gen_cfg: GeneratorConfig,
+                             fdc: FindDirectionConfig, landmarker):
+    """Build the host-side landmarks metric (reference
+    compute_landmarks_loss, find_direction.py:125-145): render the original
+    and edited batches, detect 68-point landmarks (MTCNN → MobileNet), MSE
+    over the non-jawline points. Zero when any face is undetected, matching
+    the reference's bare-except fallbacks."""
+    from ..losses.landmarks_loss import landmarks_loss
+
+    until_k = until_k_for_resolution(fdc.resolution)
+
+    @jax.jit
+    def render(styles):
+        img = synthesis(gen_params, gen_cfg, styles, until_k=until_k,
+                        noise_mode=fdc.noise_mode)
+        return jnp.clip(jnp.transpose(img, (0, 2, 3, 1)) * 127.5 + 128, 0, 255)
+
+    def metric(direction, styles):
+        orig_u8 = np.asarray(render(styles)).astype(np.uint8)
+        edit_u8 = np.asarray(render(styles + direction)).astype(np.uint8)
+        lm1 = landmarker.detect_batch(list(orig_u8))
+        if lm1 is None:
+            return 0.0
+        lm2 = landmarker.detect_batch(list(edit_u8))
+        if lm2 is None:
+            lm2 = lm1
+        return float(landmarks_loss(jnp.asarray(lm1), jnp.asarray(lm2)))
+
+    return metric
