@@ -57,6 +57,12 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt,
     from ..utils.model_zoo import load_clip_models, load_arcface
     from ..parallel.mesh import data_mesh
 
+    from ..utils.logging import RunLogger
+    logger = RunLogger("stylegan2_latent_mapper", config=dict(
+        text_prompt=text_prompt, negative_text_prompt=negative_text_prompt,
+        resolution=resolution, batch_size=batch_size,
+        learning_rate=learning_rate, n_epochs=n_epochs), outdir=outdir)
+
     print(f'Loading networks from "{network_pkl}"...')
     cfg, params = load_generator(network_pkl)
     os.makedirs(outdir, exist_ok=True)
@@ -90,6 +96,8 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt,
     t1 = time.time()
 
     def callback(it, loss, aux, lr, grad_norm, direction):
+        logger.log({"loss": loss, "lr": lr, "grad_norm": grad_norm, **aux},
+                   step=it)
         print(f"Iteration {it}, gradient norm: {grad_norm:.4f}, lr {lr:.4f}")
         print(f"Total loss: {loss:.4f}, clip loss: {aux['clip_loss']:.4f}, "
               f"identity loss: {aux['identity_loss']:.4f}, "
@@ -117,6 +125,7 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt,
 
     np.savez(f"{outdir}/direction_{prompt_tag}.npz", s=np.asarray(direction))
     print("time passed:", time.time() - t1)
+    logger.finish()
 
 
 if __name__ == "__main__":

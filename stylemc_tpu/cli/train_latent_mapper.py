@@ -50,6 +50,12 @@ def main(network_pkl, network2_pkl, noise_mode, s_input, outdir, text_prompt,
     from ..utils.model_zoo import load_clip_models, load_arcface
     from ..parallel.mesh import data_mesh
 
+    from ..utils.logging import RunLogger
+    logger = RunLogger("stylegan2_latent_mapper", config=dict(
+        text_prompt=text_prompt, negative_text_prompt=negative_text_prompt,
+        resolution=resolution, batch_size=batch_size,
+        learning_rate=learning_rate, n_epochs=n_epochs), outdir=outdir)
+
     print(f'Loading networks from "{network_pkl}"...')
     cfg, params = load_generator(network_pkl)
     gen2 = None
@@ -90,6 +96,8 @@ def main(network_pkl, network2_pkl, noise_mode, s_input, outdir, text_prompt,
                     params_to_torch_state(mp).items()}, path)
 
     def callback(it, loss, aux, lr, grad_norm, mp):
+        logger.log({"loss": loss, "lr": lr, "grad_norm": grad_norm, **aux},
+                   step=it)
         print(f"Iteration {it}, gradient norm: {grad_norm:.4f}, lr {lr:.4f}")
         print(f"Total loss: {loss:.4f}, clip loss: {aux['clip_loss']:.4f}, "
               f"identity loss: {aux['identity_loss']:.4f}, "
@@ -105,6 +113,7 @@ def main(network_pkl, network2_pkl, noise_mode, s_input, outdir, text_prompt,
 
     save_mapper(mapper_params, f"{outdir}/mapper_{prompt_tag}.pth")
     print("time passed:", time.time() - t1)
+    logger.finish()
 
 
 if __name__ == "__main__":

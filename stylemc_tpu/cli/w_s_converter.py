@@ -30,7 +30,9 @@ def main(network_pkl, projected_w, out_file):
     cfg, params = load_generator(network_pkl)
 
     ws = np.load(projected_w)["w"].astype(np.float32)
-    styles = w_to_s(params, cfg, jnp.asarray(ws))
+    from ..utils.profiling import record_function
+    with record_function("split_ws"):  # trace scope parity (w_s_converter.py:78)
+        styles = w_to_s(params, cfg, jnp.asarray(ws))
     os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
     np.savez(out_file, s=np.asarray(styles))
     print(f"saved {styles.shape} to {out_file}")
