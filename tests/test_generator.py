@@ -186,3 +186,45 @@ def test_bf16_synthesis(small_gen):
     assert img16.dtype == np.float32  # output always fp32
     # bf16 path stays close to fp32
     assert np.abs(img16 - img32).mean() < 0.1
+
+
+def test_discriminator_forward_and_grad():
+    from stylemc_tpu.models.stylegan2.discriminator import (
+        init_discriminator_params, discriminator_apply, minibatch_stddev,
+    )
+    params = init_discriminator_params(jax.random.PRNGKey(0), size=32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32)) * 0.5
+    logits = discriminator_apply(params, x)
+    assert logits.shape == (4, 1)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    def loss(p):
+        return jnp.mean(jax.nn.softplus(-discriminator_apply(p, x)))
+
+    g = jax.grad(loss)(params)
+    assert np.isfinite(np.asarray(g["stem"]["weight"])).all()
+    # minibatch stddev adds one channel
+    y = minibatch_stddev(x)
+    assert y.shape == (4, 4, 32, 32)
+
+
+def test_second_order_gradients_through_resample():
+    # JAX-native replacement for the reference's conv2d_gradfix shims
+    # (torch_utils/ops/conv2d_gradfix.py): double-backward must work through
+    # the resampling conv (needed for R1-style penalties).
+    from stylemc_tpu.ops import conv2d_resample, setup_filter
+    f = setup_filter([1, 3, 3, 1])
+    w = jax.random.normal(jax.random.PRNGKey(2), (4, 4, 3, 3)) * 0.3
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 8, 8))
+
+    def inner(x):
+        y = conv2d_resample(x, w, f=f, up=2, padding=1, flip_weight=False)
+        return jnp.sum(y ** 2)
+
+    def penalty(x):
+        g = jax.grad(inner)(x)
+        return jnp.sum(g ** 2)
+
+    gg = jax.grad(penalty)(x0)
+    assert np.isfinite(np.asarray(gg)).all()
+    assert np.abs(np.asarray(gg)).max() > 0
