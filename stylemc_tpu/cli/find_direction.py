@@ -45,11 +45,14 @@ import numpy as np
               help="Random-init missing perception weights (smoke test only)")
 @click.option("--data_parallel/--no-data_parallel", default=True,
               help="Shard the batch over all local devices")
+@click.option("--bf16", is_flag=True, default=False,
+              help="bfloat16 synthesis on the top num_fp16_res blocks "
+                   "(the reference's fp16 policy; ~1.5x step speed)")
 def main(network_pkl, noise_mode, s_input, outdir, text_prompt,
          negative_text_prompt, clip_type, clip_loss_type, resolution,
          batch_size, learning_rate, n_epochs, resume, identity_loss_coef,
          landmarks_loss_coef, l2_reg_coef, clip_loss_coef, arcface_weights,
-         allow_random_init, data_parallel):
+         allow_random_init, data_parallel, bf16):
     import jax
 
     from ..io import load_generator
@@ -65,6 +68,9 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt,
 
     print(f'Loading networks from "{network_pkl}"...')
     cfg, params = load_generator(network_pkl)
+    if bf16:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, low_precision_dtype="bfloat16")
     os.makedirs(outdir, exist_ok=True)
 
     fdc = FindDirectionConfig(
