@@ -45,6 +45,9 @@ import numpy as np
               help="Random-init missing perception weights (smoke test only)")
 @click.option("--data_parallel/--no-data_parallel", default=True,
               help="Shard the batch over all local devices")
+@click.option("--split_step", is_flag=True, default=False,
+              help="Per-model jits chained via image cotangents (bounds "
+                   "compile size on remote-TPU toolchains; same numerics)")
 @click.option("--bf16", is_flag=True, default=False,
               help="bfloat16 synthesis on the top num_fp16_res blocks "
                    "(the reference's fp16 policy; ~1.5x step speed)")
@@ -52,7 +55,7 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt,
          negative_text_prompt, clip_type, clip_loss_type, resolution,
          batch_size, learning_rate, n_epochs, resume, identity_loss_coef,
          landmarks_loss_coef, l2_reg_coef, clip_loss_coef, arcface_weights,
-         allow_random_init, data_parallel, bf16):
+         allow_random_init, data_parallel, split_step, bf16):
     import jax
 
     from ..io import load_generator
@@ -81,7 +84,7 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt,
         landmarks_loss_coef=landmarks_loss_coef,
         l2_reg_coef=l2_reg_coef, clip_loss_coef=clip_loss_coef,
         clip_type=clip_type, clip_loss_type=clip_loss_type,
-        noise_mode=noise_mode)
+        noise_mode=noise_mode, split_step=split_step)
 
     clip_models, tokenizer = load_clip_models(
         fdc.clip_type, allow_random_init=allow_random_init)

@@ -32,6 +32,7 @@ reproduce the reported number.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 import time
 from typing import Any, Callable, Dict, List, Optional, Tuple
@@ -72,6 +73,11 @@ class FindDirectionConfig:
     seed: int = 0
     # non-default ArcFace bottleneck layout (tests / dryruns); None = IR-SE-50
     arcface_layout: Optional[Any] = None
+    # split the training step into per-model jits chained through image
+    # cotangents — bounds per-graph compile size (remote-TPU toolchains choke
+    # on the monolithic generator+2×CLIP+ArcFace fwd+bwd graph). Costs one
+    # extra synthesis forward per step; numerics identical.
+    split_step: bool = False
 
 
 def until_k_for_resolution(resolution: int) -> int:
@@ -126,7 +132,7 @@ def make_clip_bundles(fdc: FindDirectionConfig, clip_models: Dict[str, Tuple],
     return bundles
 
 
-def _clip_image_features(bundle: CLIPBundle, img, clip_loss_type: str):
+def _clip_image_features(bundle: CLIPBundle, img, clip_loss_type: str = "default"):
     size = bundle.cfg.image_resolution
     if clip_loss_type in ("nada", "nada_global"):
         x = preprocess_nada(img, size)
@@ -142,14 +148,20 @@ def precompute_original_features(gen_params, gen_cfg: GeneratorConfig,
     """Original-image ArcFace + CLIP features for every item, computed once."""
     until_k = until_k_for_resolution(fdc.resolution)
 
-    @jax.jit
+    # Separate jits per model: each graph compiles (and caches) independently
+    # — large monolithic graphs are slow to compile on remote-TPU toolchains.
+    render = jax.jit(lambda s: synthesis(gen_params, gen_cfg, s,
+                                         until_k=until_k,
+                                         noise_mode=fdc.noise_mode))
+    id_feats = jax.jit(lambda img: extract_feats(arcface_params, img,
+                                                 fdc.arcface_layout))
+    clip_feats = [jax.jit(functools.partial(_clip_image_features, b,
+                                            clip_loss_type=fdc.clip_loss_type))
+                  for b in bundles]
+
     def feats(styles):
-        img = synthesis(gen_params, gen_cfg, styles, until_k=until_k,
-                        noise_mode=fdc.noise_mode)
-        id_f = extract_feats(arcface_params, img, fdc.arcface_layout)
-        clip_f = tuple(_clip_image_features(b, img, fdc.clip_loss_type)
-                       for b in bundles)
-        return id_f, clip_f
+        img = render(styles)
+        return id_feats(img), tuple(fn(img) for fn in clip_feats)
 
     n = styles_array.shape[0]
     id_out, clip_out = [], [[] for _ in bundles]
@@ -167,6 +179,35 @@ def precompute_original_features(gen_params, gen_cfg: GeneratorConfig,
             clip_out[j].append(cf[:keep])
     return (jnp.concatenate(id_out, axis=0),
             tuple(jnp.concatenate(c, axis=0) for c in clip_out))
+
+
+
+def _clip_term_from_img(bundle: CLIPBundle, clip_loss_type: str, img, orig_f):
+    """One bundle's CLIP alignment term given the rendered image and the
+    cached original-image features (un-normalized encode_image outputs)."""
+    f_tgt = _clip_image_features(bundle, img, clip_loss_type)
+    if clip_loss_type == "nada_global":
+        f_n = f_tgt / jnp.linalg.norm(f_tgt, axis=-1, keepdims=True)
+        t_n = bundle.nada_anchors.target_text_features
+        logit_scale = jnp.exp(bundle.params["logit_scale"])
+        return jnp.mean(1.0 - logit_scale * (f_n @ t_n.T) / 100.0)
+    if clip_loss_type == "nada":
+        f_src = orig_f / jnp.linalg.norm(orig_f, axis=-1, keepdims=True)
+        f_t = f_tgt / jnp.linalg.norm(f_tgt, axis=-1, keepdims=True)
+        edit = f_t - f_src
+        edit = edit / jnp.maximum(
+            jnp.linalg.norm(edit, axis=-1, keepdims=True), 1e-6)
+        cos = jnp.sum(edit * bundle.nada_anchors.target_direction, axis=-1)
+        return jnp.mean(1.0 - cos)
+    # StyleMC: normalize(E(tgt) − E(src)) vs text direction. Norm clamped:
+    # at step 1 a zero Δs renders the original exactly (const noise,
+    # deterministic TPU), so the edit direction is 0 — 0/0 would NaN.
+    edit = f_tgt - orig_f
+    edit = edit / jnp.maximum(
+        jnp.linalg.norm(edit, axis=-1, keepdims=True), 1e-6)
+    td = bundle.text_direction
+    cos = jnp.sum(edit * td.astype(edit.dtype), axis=-1)
+    return jnp.mean(1.0 - cos)
 
 
 def make_loss_fn(gen_params, gen_cfg: GeneratorConfig,
@@ -205,34 +246,8 @@ def make_loss_fn(gen_params, gen_cfg: GeneratorConfig,
         # --- CLIP alignment loss
         clip_loss = 0.0
         for b, orig_f in zip(bundles, clip_feats_orig):
-            f_tgt = _clip_image_features(b, img, fdc.clip_loss_type)
-            if fdc.clip_loss_type == "nada_global":
-                # global: 1 - scaled cosine logits vs target prompt
-                f_n = f_tgt / jnp.linalg.norm(f_tgt, axis=-1, keepdims=True)
-                t_n = b.nada_anchors.target_text_features
-                logit_scale = jnp.exp(b.params["logit_scale"])
-                term = jnp.mean(1.0 - logit_scale * (f_n @ t_n.T) / 100.0)
-            elif fdc.clip_loss_type == "nada":
-                f_src = orig_f / jnp.linalg.norm(orig_f, axis=-1, keepdims=True)
-                f_t = f_tgt / jnp.linalg.norm(f_tgt, axis=-1, keepdims=True)
-                edit = f_t - f_src
-                edit = edit / jnp.maximum(
-                    jnp.linalg.norm(edit, axis=-1, keepdims=True), 1e-6)
-                td = b.nada_anchors.target_direction
-                cos = jnp.sum(edit * td, axis=-1)
-                term = jnp.mean(1.0 - cos)
-            else:
-                # StyleMC: normalize(E(tgt) − E(src)) vs text direction.
-                # Norm clamped: at step 1 a zero Δs renders the original
-                # exactly (const noise, deterministic TPU), so the edit
-                # direction is 0 — 0/0 would NaN the run.
-                edit = f_tgt - orig_f
-                edit = edit / jnp.maximum(
-                    jnp.linalg.norm(edit, axis=-1, keepdims=True), 1e-6)
-                td = b.text_direction
-                cos = jnp.sum(edit * td.astype(edit.dtype), axis=-1)
-                term = jnp.mean(1.0 - cos)
-            clip_loss = clip_loss + b.weight * term
+            clip_loss = clip_loss + b.weight * _clip_term_from_img(
+                b, fdc.clip_loss_type, img, orig_f)
         clip_loss = clip_loss * fdc.clip_loss_coef
 
         # --- L2 manipulation regularizer (find_direction.py:190-191)
@@ -245,6 +260,81 @@ def make_loss_fn(gen_params, gen_cfg: GeneratorConfig,
         return loss, aux
 
     return loss_fn
+
+
+
+def _make_split_step(gen_params, gen_cfg: GeneratorConfig,
+                     bundles: List[CLIPBundle], arcface_params,
+                     fdc: FindDirectionConfig, optimizer):
+    """Per-model jits chained via dL/d(img): render → per-loss value_and_grad
+    w.r.t. the image → pullback through synthesis via a linear contraction
+    (grad of sum(img · stop_grad(g_img))) + the analytic L2 term."""
+    until_k = until_k_for_resolution(fdc.resolution)
+
+    def _render(delta_s, styles):
+        direction = jnp.zeros((1, N_STYLE_CHANNELS, STYLE_DIM), jnp.float32)
+        direction = direction.at[:, TRAINABLE].set(delta_s)
+        return synthesis(gen_params, gen_cfg, styles + direction,
+                         until_k=until_k, noise_mode=fdc.noise_mode)
+
+    render = jax.jit(_render)
+
+    @jax.jit
+    def id_vg(img, id_feats_orig):
+        def f(i):
+            idf = extract_feats(arcface_params, i, fdc.arcface_layout)
+            return fdc.identity_loss_coef * jnp.mean(
+                1.0 - jnp.sum(idf * id_feats_orig, axis=1))
+        return jax.value_and_grad(f)(img)
+
+    def _make_clip_vg(b):
+        @jax.jit
+        def vg(img, orig_f):
+            def f(i):
+                return fdc.clip_loss_coef * b.weight * _clip_term_from_img(
+                    b, fdc.clip_loss_type, i, orig_f)
+            return jax.value_and_grad(f)(img)
+        return vg
+
+    clip_vgs = [_make_clip_vg(b) for b in bundles]
+
+    @jax.jit
+    def update(delta_s, opt_state, styles, g_img):
+        def render_contract(d):
+            return jnp.sum(_render(d, styles) * g_img)
+        g_render = jax.grad(render_contract)(delta_s)
+
+        def l2f(d):
+            direction = jnp.zeros((1, N_STYLE_CHANNELS, STYLE_DIM),
+                                  jnp.float32)
+            direction = direction.at[:, TRAINABLE].set(d)
+            styles2 = styles + direction
+            return fdc.l2_reg_coef * jnp.mean(jnp.square(
+                styles2[:, TRAINABLE] - styles[:, TRAINABLE]))
+
+        l2_val, g_l2 = jax.value_and_grad(l2f)(delta_s)
+        grads = g_render + g_l2
+        updates, opt_state = optimizer.update(grads, opt_state, delta_s)
+        delta_s = optax.apply_updates(delta_s, updates)
+        grad_norm = jnp.linalg.norm(grads.reshape(-1))
+        return delta_s, opt_state, l2_val, grad_norm
+
+    def step(delta_s, opt_state, styles, id_f, clip_f):
+        img = render(delta_s, styles)
+        id_val, g_img = id_vg(img, id_f)
+        clip_total = 0.0
+        for vg, cf in zip(clip_vgs, clip_f):
+            v, g = vg(img, cf)
+            clip_total = clip_total + v
+            g_img = g_img + g
+        delta_s, opt_state, l2_val, grad_norm = update(
+            delta_s, opt_state, styles, g_img)
+        loss = id_val + clip_total + l2_val
+        aux = {"clip_loss": clip_total, "identity_loss": id_val,
+               "l2_loss": l2_val}
+        return delta_s, opt_state, loss, aux, grad_norm
+
+    return step
 
 
 def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
@@ -293,14 +383,18 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
         data_sharding = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec("data"))
 
-    @jax.jit
-    def step(delta_s, opt_state, styles, id_f, clip_f):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            delta_s, styles, id_f, clip_f)
-        updates, opt_state = optimizer.update(grads, opt_state, delta_s)
-        delta_s = optax.apply_updates(delta_s, updates)
-        grad_norm = jnp.linalg.norm(grads.reshape(-1))
-        return delta_s, opt_state, loss, aux, grad_norm
+    if fdc.split_step:
+        step = _make_split_step(gen_params, gen_cfg, bundles, arcface_params,
+                                fdc, optimizer)
+    else:
+        @jax.jit
+        def step(delta_s, opt_state, styles, id_f, clip_f):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                delta_s, styles, id_f, clip_f)
+            updates, opt_state = optimizer.update(grads, opt_state, delta_s)
+            delta_s = optax.apply_updates(delta_s, updates)
+            grad_norm = jnp.linalg.norm(grads.reshape(-1))
+            return delta_s, opt_state, loss, aux, grad_norm
 
     rng = np.random.RandomState(fdc.seed)
     cur_iteration = 0
@@ -338,12 +432,14 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
                     aux_out.setdefault("landmarks_loss", 0.0)
                 callback(cur_iteration, float(loss), aux_out,
                          lr, float(grad_norm), assemble_direction(delta_s))
-            history.append(float(loss))
+            # keep the loss on-device; float() would force a sync per step
+            history.append(loss)
 
     direction = assemble_direction(delta_s)
+    jax.block_until_ready(direction)
     elapsed = time.time() - t0
-    return direction, {"history": history, "time": elapsed,
-                       "iterations": cur_iteration}
+    return direction, {"history": [float(x) for x in history],
+                       "time": elapsed, "iterations": cur_iteration}
 
 
 def assemble_direction(delta_s) -> jnp.ndarray:

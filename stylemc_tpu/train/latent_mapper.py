@@ -118,7 +118,10 @@ def train_latent_mapper(gen_params, gen_cfg: GeneratorConfig, styles_array,
                 callback(cur_iteration, float(loss),
                          {k: float(v) for k, v in aux.items()},
                          lr, float(grad_norm), mapper_params)
-            history.append(float(loss))
+            # keep the loss on-device; float() would force a sync per step
+            history.append(loss)
 
-    return mapper_params, {"history": history, "time": time.time() - t0,
+    jax.block_until_ready(mapper_params)
+    return mapper_params, {"history": [float(x) for x in history],
+                           "time": time.time() - t0,
                            "iterations": cur_iteration}

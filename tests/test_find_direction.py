@@ -170,3 +170,15 @@ def test_mapper_direction_threshold_and_stoplist():
     from stylemc_tpu.edit import STOPLIST_S_IDS
     flat = d_wl.reshape(-1)
     assert (flat[STOPLIST_S_IDS] == 0).all()
+
+
+def test_split_step_matches_fused(setup):
+    gen_cfg, gen_params, clip_models, arcface, styles = setup
+    fdc_fused = _fdc(clip_type="small")
+    fdc_split = _fdc(clip_type="small", split_step=True)
+    d1, _ = find_direction(gen_params, gen_cfg, styles, clip_models, arcface,
+                           fdc_fused, tokenizer=FallbackTokenizer())
+    d2, _ = find_direction(gen_params, gen_cfg, styles, clip_models, arcface,
+                           fdc_split, tokenizer=FallbackTokenizer())
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=5e-3, atol=5e-4)
