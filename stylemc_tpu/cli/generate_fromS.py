@@ -34,11 +34,14 @@ import numpy as np
 @click.option("--mapper_neg_slope", type=float, default=0.01)
 @click.option("--use_blending", type=int, default=0)
 @click.option("--use_whitelist", type=int, default=0)
+@click.option("--power_sweep", type=str, default=None,
+              help="'start:end:steps' — render a change_power sweep per item "
+                   "and save an animated GIF (video mode)")
 @click.option("--batch", type=int, default=8,
               help="TPU batching for the non-blending path")
 def main(network_pkl, network2_pkl, noise_mode, projected_w, s_input,
          use_mapper, n, outdir, text_prompt, change_power, mapper_neg_slope,
-         use_blending, use_whitelist, batch):
+         use_blending, use_whitelist, power_sweep, batch):
     import jax.numpy as jnp
     from PIL import Image
     from ..io import load_generator, load_state_dict_numpy
@@ -95,6 +98,26 @@ def main(network_pkl, network2_pkl, noise_mode, projected_w, s_input,
         return global_direction
 
     n_items = styles.shape[0]
+
+    if power_sweep:
+        # video mode: change_power sweep rendered as animated GIFs
+        start, end, steps = power_sweep.split(":")
+        powers = np.linspace(float(start), float(end), int(steps))
+        for i in range(n_items):
+            d = direction_for(i)
+            frames = []
+            for p_w in powers:
+                _, edited = apply_edit_batch(params, cfg, styles[i:i + 1], d,
+                                             float(p_w),
+                                             noise_mode=noise_mode, gen2=gen2)
+                frames.append(Image.fromarray(to_uint8_hwc(edited)[0], "RGB"))
+            gif = f"{outdir}/{prompt_tag}_{i:03d}_sweep.gif"
+            frames[0].save(gif, save_all=True, append_images=frames[1:],
+                           duration=120, loop=0)
+        print(f"saved {n_items} sweep GIFs")
+        print("time passed:", time.time() - t1)
+        return
+
     if use_blending:
         for i in range(n_items):
             orig_u8, edited_u8 = apply_edit_item_with_blending(

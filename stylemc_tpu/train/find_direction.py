@@ -132,13 +132,18 @@ def make_clip_bundles(fdc: FindDirectionConfig, clip_models: Dict[str, Tuple],
     return bundles
 
 
-def _clip_image_features(bundle: CLIPBundle, img, clip_loss_type: str = "default"):
+def _clip_image_features(bundle: CLIPBundle, img, clip_loss_type: str = "default",
+                         clip_params=None):
+    """clip_params overrides bundle.params when the weights are routed as a
+    jit argument (weights embedded as HLO literals make remote-compile
+    request bodies exceed size limits)."""
     size = bundle.cfg.image_resolution
     if clip_loss_type in ("nada", "nada_global"):
         x = preprocess_nada(img, size)
     else:
         x = unprocess(img, size)
-    return encode_image(bundle.params, bundle.cfg, x)
+    params = clip_params if clip_params is not None else bundle.params
+    return encode_image(params, bundle.cfg, x)
 
 
 def precompute_original_features(gen_params, gen_cfg: GeneratorConfig,
@@ -148,20 +153,24 @@ def precompute_original_features(gen_params, gen_cfg: GeneratorConfig,
     """Original-image ArcFace + CLIP features for every item, computed once."""
     until_k = until_k_for_resolution(fdc.resolution)
 
-    # Separate jits per model: each graph compiles (and caches) independently
-    # — large monolithic graphs are slow to compile on remote-TPU toolchains.
-    render = jax.jit(lambda s: synthesis(gen_params, gen_cfg, s,
-                                         until_k=until_k,
-                                         noise_mode=fdc.noise_mode))
-    id_feats = jax.jit(lambda img: extract_feats(arcface_params, img,
-                                                 fdc.arcface_layout))
+    # Separate jits per model, with the WEIGHTS passed as arguments: each
+    # graph compiles (and caches) independently and carries no weight
+    # literals — monolithic/constant-laden graphs choke remote-TPU
+    # toolchains (HTTP 413 / multi-minute compiles).
+    render = jax.jit(lambda gp, s: synthesis(gp, gen_cfg, s,
+                                             until_k=until_k,
+                                             noise_mode=fdc.noise_mode))
+    id_feats = jax.jit(lambda ap, img: extract_feats(ap, img,
+                                                     fdc.arcface_layout))
     clip_feats = [jax.jit(functools.partial(_clip_image_features, b,
                                             clip_loss_type=fdc.clip_loss_type))
                   for b in bundles]
 
     def feats(styles):
-        img = render(styles)
-        return id_feats(img), tuple(fn(img) for fn in clip_feats)
+        img = render(gen_params, styles)
+        return id_feats(arcface_params, img), tuple(
+            fn(img, clip_params=b.params)
+            for fn, b in zip(clip_feats, bundles))
 
     n = styles_array.shape[0]
     id_out, clip_out = [], [[] for _ in bundles]
@@ -182,14 +191,16 @@ def precompute_original_features(gen_params, gen_cfg: GeneratorConfig,
 
 
 
-def _clip_term_from_img(bundle: CLIPBundle, clip_loss_type: str, img, orig_f):
+def _clip_term_from_img(bundle: CLIPBundle, clip_loss_type: str, img, orig_f,
+                        clip_params=None):
     """One bundle's CLIP alignment term given the rendered image and the
     cached original-image features (un-normalized encode_image outputs)."""
-    f_tgt = _clip_image_features(bundle, img, clip_loss_type)
+    cp = clip_params if clip_params is not None else bundle.params
+    f_tgt = _clip_image_features(bundle, img, clip_loss_type, clip_params=cp)
     if clip_loss_type == "nada_global":
         f_n = f_tgt / jnp.linalg.norm(f_tgt, axis=-1, keepdims=True)
         t_n = bundle.nada_anchors.target_text_features
-        logit_scale = jnp.exp(bundle.params["logit_scale"])
+        logit_scale = jnp.exp(cp["logit_scale"])
         return jnp.mean(1.0 - logit_scale * (f_n @ t_n.T) / 100.0)
     if clip_loss_type == "nada":
         f_src = orig_f / jnp.linalg.norm(orig_f, axis=-1, keepdims=True)
@@ -232,22 +243,29 @@ def make_loss_fn(gen_params, gen_cfg: GeneratorConfig,
             direction = direction.at[:, TRAINABLE].set(delta_s)
             return styles + direction
 
-    def loss_fn(trainable, styles, id_feats_orig, clip_feats_orig):
+    def loss_fn(trainable, styles, id_feats_orig, clip_feats_orig,
+                model_params=None):
+        """model_params ({'gen','arc','clip': [...]}) routes the frozen
+        weights as jit ARGUMENTS — closures would embed hundreds of MB of
+        literals in the HLO (fatal for remote-compile toolchains)."""
+        mp_gen = model_params["gen"] if model_params else e_params
+        mp_arc = model_params["arc"] if model_params else arcface_params
+        mp_clip = model_params["clip"] if model_params else             [b.params for b in bundles]
         styles2 = edit_fn(trainable, styles)
 
-        img = synthesis(e_params, e_cfg, styles2, until_k=until_k,
+        img = synthesis(mp_gen, e_cfg, styles2, until_k=until_k,
                         noise_mode=fdc.noise_mode)
 
         # --- identity loss (reference id_loss.py:26-39, orig feats detached)
-        id_f = extract_feats(arcface_params, img, fdc.arcface_layout)
+        id_f = extract_feats(mp_arc, img, fdc.arcface_layout)
         identity_loss = jnp.mean(1.0 - jnp.sum(id_f * id_feats_orig, axis=1))
         identity_loss = identity_loss * fdc.identity_loss_coef
 
         # --- CLIP alignment loss
         clip_loss = 0.0
-        for b, orig_f in zip(bundles, clip_feats_orig):
+        for b, orig_f, cp in zip(bundles, clip_feats_orig, mp_clip):
             clip_loss = clip_loss + b.weight * _clip_term_from_img(
-                b, fdc.clip_loss_type, img, orig_f)
+                b, fdc.clip_loss_type, img, orig_f, clip_params=cp)
         clip_loss = clip_loss * fdc.clip_loss_coef
 
         # --- L2 manipulation regularizer (find_direction.py:190-191)
@@ -271,37 +289,37 @@ def _make_split_step(gen_params, gen_cfg: GeneratorConfig,
     (grad of sum(img · stop_grad(g_img))) + the analytic L2 term."""
     until_k = until_k_for_resolution(fdc.resolution)
 
-    def _render(delta_s, styles):
+    def _render(gp, delta_s, styles):
         direction = jnp.zeros((1, N_STYLE_CHANNELS, STYLE_DIM), jnp.float32)
         direction = direction.at[:, TRAINABLE].set(delta_s)
-        return synthesis(gen_params, gen_cfg, styles + direction,
+        return synthesis(gp, gen_cfg, styles + direction,
                          until_k=until_k, noise_mode=fdc.noise_mode)
 
     render = jax.jit(_render)
 
     @jax.jit
-    def id_vg(img, id_feats_orig):
+    def id_vg(ap, img, id_feats_orig):
         def f(i):
-            idf = extract_feats(arcface_params, i, fdc.arcface_layout)
+            idf = extract_feats(ap, i, fdc.arcface_layout)
             return fdc.identity_loss_coef * jnp.mean(
                 1.0 - jnp.sum(idf * id_feats_orig, axis=1))
         return jax.value_and_grad(f)(img)
 
     def _make_clip_vg(b):
         @jax.jit
-        def vg(img, orig_f):
+        def vg(cp, img, orig_f):
             def f(i):
                 return fdc.clip_loss_coef * b.weight * _clip_term_from_img(
-                    b, fdc.clip_loss_type, i, orig_f)
+                    b, fdc.clip_loss_type, i, orig_f, clip_params=cp)
             return jax.value_and_grad(f)(img)
         return vg
 
     clip_vgs = [_make_clip_vg(b) for b in bundles]
 
     @jax.jit
-    def update(delta_s, opt_state, styles, g_img):
+    def update(gp, delta_s, opt_state, styles, g_img):
         def render_contract(d):
-            return jnp.sum(_render(d, styles) * g_img)
+            return jnp.sum(_render(gp, d, styles) * g_img)
         g_render = jax.grad(render_contract)(delta_s)
 
         def l2f(d):
@@ -320,15 +338,15 @@ def _make_split_step(gen_params, gen_cfg: GeneratorConfig,
         return delta_s, opt_state, l2_val, grad_norm
 
     def step(delta_s, opt_state, styles, id_f, clip_f):
-        img = render(delta_s, styles)
-        id_val, g_img = id_vg(img, id_f)
+        img = render(gen_params, delta_s, styles)
+        id_val, g_img = id_vg(arcface_params, img, id_f)
         clip_total = 0.0
-        for vg, cf in zip(clip_vgs, clip_f):
-            v, g = vg(img, cf)
+        for vg, cf, b in zip(clip_vgs, clip_f, bundles):
+            v, g = vg(b.params, img, cf)
             clip_total = clip_total + v
             g_img = g_img + g
         delta_s, opt_state, l2_val, grad_norm = update(
-            delta_s, opt_state, styles, g_img)
+            gen_params, delta_s, opt_state, styles, g_img)
         loss = id_val + clip_total + l2_val
         aux = {"clip_loss": clip_total, "identity_loss": id_val,
                "l2_loss": l2_val}
@@ -387,14 +405,21 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
         step = _make_split_step(gen_params, gen_cfg, bundles, arcface_params,
                                 fdc, optimizer)
     else:
+        model_params = {"gen": gen_params, "arc": arcface_params,
+                        "clip": [b.params for b in bundles]}
+
         @jax.jit
-        def step(delta_s, opt_state, styles, id_f, clip_f):
+        def _step(delta_s, opt_state, styles, id_f, clip_f, mp):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                delta_s, styles, id_f, clip_f)
+                delta_s, styles, id_f, clip_f, mp)
             updates, opt_state = optimizer.update(grads, opt_state, delta_s)
             delta_s = optax.apply_updates(delta_s, updates)
             grad_norm = jnp.linalg.norm(grads.reshape(-1))
             return delta_s, opt_state, loss, aux, grad_norm
+
+        def step(delta_s, opt_state, styles, id_f, clip_f):
+            return _step(delta_s, opt_state, styles, id_f, clip_f,
+                         model_params)
 
     rng = np.random.RandomState(fdc.seed)
     cur_iteration = 0

@@ -82,15 +82,22 @@ def train_latent_mapper(gen_params, gen_cfg: GeneratorConfig, styles_array,
         data_sharding = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec("data"))
 
+    model_params = {"gen": gen2[0] if gen2 is not None else gen_params,
+                    "arc": arcface_params,
+                    "clip": [b.params for b in bundles]}
+
     @jax.jit
-    def step(mp, opt_state, styles, id_f, clip_f):
+    def _step(mp, opt_state, styles, id_f, clip_f, frozen):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            mp, styles, id_f, clip_f)
+            mp, styles, id_f, clip_f, frozen)
         updates, opt_state = optimizer.update(grads, opt_state, mp)
         mp = optax.apply_updates(mp, updates)
         grad_norm = sum(jnp.linalg.norm(g.reshape(-1))
                         for g in jax.tree_util.tree_leaves(grads))
         return mp, opt_state, loss, aux, grad_norm
+
+    def step(mp, opt_state, styles, id_f, clip_f):
+        return _step(mp, opt_state, styles, id_f, clip_f, model_params)
 
     rng = np.random.RandomState(mtc.seed)
     cur_iteration = 0
