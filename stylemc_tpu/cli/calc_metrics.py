@@ -48,9 +48,14 @@ def main(network_pkl, metrics, data_dir, num_gen, batch, inception_path,
             "set STYLEMC_INCEPTION to a torchvision inception_v3 state dict "
             "or pass --allow_random_init")
 
-    features_fn = jax.jit(lambda x: inc.inception_features(inc_params, x))
-    probs_fn = jax.jit(lambda x: inc.inception_features(inc_params, x,
-                                                        return_logits=True))
+    _feat_jit = jax.jit(inc.inception_features,
+                        static_argnames=("return_logits",))
+
+    def features_fn(x):
+        return _feat_jit(inc_params, x)
+
+    def probs_fn(x):
+        return _feat_jit(inc_params, x, return_logits=True)
 
     def dataset_features_fn(opts, max_items, _probs=False):
         from ..data.images import make_dataset

@@ -35,7 +35,15 @@ def main(images_dir, checkpoint_path, save_dir, align, stylegan_size, batch):
     print(f"inverting {len(paths)} images")
     os.makedirs(save_dir, exist_ok=True)
 
-    encode = jax.jit(lambda x: psp.encode(x))
+    import dataclasses as _dc
+
+    def _encode(enc_params, x):
+        return _dc.replace(psp, encoder_params=enc_params).encode(x)
+
+    _encode_jit = jax.jit(_encode)
+
+    def encode(x):
+        return _encode_jit(psp.encoder_params, x)
 
     latents = []
     t0 = time.time()

@@ -64,10 +64,13 @@ class Landmarker:
         mean = np.asarray(IMAGENET_MEAN, np.float32).reshape(1, 3, 1, 1)
         std = np.asarray(IMAGENET_STD, np.float32).reshape(1, 3, 1, 1)
 
-        def run(x):
-            return mobilenet_gdconv_apply(mobilenet_params, x)
+        self._params = mobilenet_params
+        self._run_jit = jax.jit(mobilenet_gdconv_apply)
 
-        self._run = jax.jit(run)
+        def run(x):
+            return self._run_jit(self._params, x)
+
+        self._run = run
         self._mean, self._std = mean, std
 
     def detect(self, image: np.ndarray) -> Optional[np.ndarray]:

@@ -222,7 +222,9 @@ class Segmenter:
                  layers=RESNET101_LAYERS):
         self.params = params
         self.resolution = resolution
-        self._apply = jax.jit(lambda x: deeplab_apply(params, x))
+        # params routed as a jit argument (weight literals in the HLO break
+        # remote-compile request limits)
+        self._apply = jax.jit(deeplab_apply)
 
     def segment(self, img_u8: np.ndarray) -> np.ndarray:
         """uint8 HWC → class-index map at self.resolution (nearest)."""
@@ -232,7 +234,7 @@ class Segmenter:
         x = np.asarray(img, np.float32) / 255.0
         x = (x - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
         x = jnp.asarray(x.transpose(2, 0, 1)[None], jnp.float32)
-        logits = np.asarray(self._apply(x))
+        logits = np.asarray(self._apply(self.params, x))
         pred = logits[0].argmax(axis=0).astype(np.uint8)
         mask = Image.fromarray(pred).resize((self.resolution, self.resolution),
                                             Image.NEAREST)

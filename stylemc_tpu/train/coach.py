@@ -157,11 +157,17 @@ class Coach:
 
     # ----------------------------------------------------------- loss graph
 
-    def _calc_loss(self, trainable, x, y, stage, disc_params):
+    def _calc_loss(self, trainable, x, y, stage, disc_params, frozen=None):
+        """`frozen` carries the non-trained weights (decoder + perception)
+        as jit arguments — closure'd weights embed as HLO literals, which
+        remote-compile toolchains reject."""
         opts = self.opts
+        frozen = frozen or {"decoder": self.psp.decoder_params,
+                            "perception": self.perception}
+        perception = frozen["perception"]
         psp = dataclasses.replace(
             self.psp, encoder_params=trainable["encoder"],
-            decoder_params=trainable.get("decoder", self.psp.decoder_params))
+            decoder_params=trainable.get("decoder", frozen["decoder"]))
         codes = psp.encode(x, progressive_stage=stage)
         y_hat = psp.decode(codes, resize=True, noise_mode="const")
         latent = codes
@@ -190,11 +196,11 @@ class Coach:
             loss += opts.delta_norm_lambda * total_delta
 
         if opts.id_lambda > 0:
-            if "arcface" in self.perception:
-                loss_id, sim = e4e_id_loss(self.perception["arcface"],
+            if "arcface" in perception:
+                loss_id, sim = e4e_id_loss(perception["arcface"],
                                            y_hat, y, x, self.arcface_layout)
             else:
-                loss_id, sim = moco_loss(self.perception["moco"], y_hat, y, x)
+                loss_id, sim = moco_loss(perception["moco"], y_hat, y, x)
             loss_dict["loss_id"] = loss_id
             loss_dict["id_improve"] = sim
             loss += loss_id * opts.id_lambda
@@ -203,7 +209,7 @@ class Coach:
             loss_dict["loss_l2"] = loss_l2
             loss += loss_l2 * opts.l2_lambda
         if opts.lpips_lambda > 0:
-            loss_lp = lpips_loss(self.perception["lpips"], y_hat, y,
+            loss_lp = lpips_loss(perception["lpips"], y_hat, y,
                                  self.opts.lpips_type)
             loss_dict["loss_lpips"] = loss_lp
             loss += loss_lp * opts.lpips_lambda
@@ -220,14 +226,19 @@ class Coach:
             return self._step_cache[stage]
 
         @jax.jit
-        def step(trainable, opt_state, x, y, disc_params):
+        def _step(trainable, opt_state, x, y, disc_params, frozen):
             (loss, (loss_dict, y_hat, latent)), grads = jax.value_and_grad(
                 self._calc_loss, has_aux=True)(trainable, x, y, stage,
-                                               disc_params)
+                                               disc_params, frozen)
             updates, opt_state = self.optimizer.update(grads, opt_state,
                                                        trainable)
             trainable = optax.apply_updates(trainable, updates)
             return trainable, opt_state, loss_dict, y_hat, latent
+
+        def step(trainable, opt_state, x, y, disc_params):
+            frozen = {"decoder": self.psp.decoder_params,
+                      "perception": self.perception}
+            return _step(trainable, opt_state, x, y, disc_params, frozen)
 
         self._step_cache[stage] = step
         return step
