@@ -170,6 +170,10 @@ class Coach:
             decoder_params=trainable.get("decoder", frozen["decoder"]))
         codes = psp.encode(x, progressive_stage=stage)
         y_hat = psp.decode(codes, resize=True, noise_mode="const")
+        if opts.dataset_type == "cars_encode":
+            # cars StyleGAN renders 512x384 content in a 512x512 frame
+            # (reference coach.py forward, :283-285)
+            y_hat = y_hat[:, :, 32:224, :]
         latent = codes
 
         loss = 0.0
