@@ -40,10 +40,13 @@ def main():
     for _ in range(WARMUP):
         fn(styles).block_until_ready()
 
+    # block on every output: async dispatch over tunneled devices can
+    # otherwise mis-time the stream
+    outs = []
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = fn(styles)
-    out.block_until_ready()
+        outs.append(fn(styles))
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
     imgs_per_sec = BATCH * ITERS / dt

@@ -9,7 +9,6 @@ styles npz + rendered images produced by generate_fromS/generate_w.
 
 from __future__ import annotations
 
-import json
 import os
 
 import click

@@ -45,7 +45,7 @@ def main(network_pkl, network2_pkl, noise_mode, projected_w, s_input,
     import jax.numpy as jnp
     from PIL import Image
     from ..io import load_generator, load_state_dict_numpy
-    from ..models.stylegan2.generator import synthesis, split_ws
+    from ..models.stylegan2.generator import synthesis
     from ..models.mapper import params_from_torch_state
     from ..edit import (apply_edit_batch, apply_edit_item_with_blending,
                         mapper_direction, to_uint8_hwc)

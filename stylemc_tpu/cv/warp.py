@@ -7,7 +7,7 @@ cropping with masks. Used by the warp tooling CLI.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -16,7 +16,7 @@ TPU-first: rendering is batched across items in one jit'd synthesis call
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

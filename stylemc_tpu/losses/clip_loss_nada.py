@@ -15,7 +15,6 @@ normalize, clip_loss_nada.py:72-75) is `preprocess_nada`.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

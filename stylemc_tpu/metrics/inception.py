@@ -14,7 +14,7 @@ Input: uint8 [N, H, W, 3] → resized to 299² (bilinear) and scaled to
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -124,12 +124,9 @@ _BLOCKS = [
 def inception_features(params, images_u8, return_logits: bool = False):
     """images_u8: uint8/float [N, H, W, 3] → pool features [N, 2048]
     (or softmax probs [N, num_classes] with return_logits)."""
-    from ..models.clip.preprocess import resize_bicubic
-
     x = jnp.asarray(images_u8, jnp.float32).transpose(0, 3, 1, 2)
     if x.shape[-1] != 299:
         # torchvision FID convention: bilinear resize to 299
-        from ..models.e4e.encoders import _bilinear_ac_matrix
         ky = jnp.asarray(_resize_matrix_bilinear(x.shape[-2], 299))
         kx = jnp.asarray(_resize_matrix_bilinear(x.shape[-1], 299))
         x = jnp.einsum("oh,nchw->ncow", ky, x)

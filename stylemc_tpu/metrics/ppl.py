@@ -9,13 +9,12 @@ LPIPS-VGG distance scaled by 1/eps².
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..losses.lpips import lpips_loss
 from ..models.perceptual import features as lpips_features
 
 

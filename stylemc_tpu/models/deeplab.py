@@ -14,9 +14,8 @@ Behavioral contracts:
 
 from __future__ import annotations
 
-import dataclasses
 import os
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

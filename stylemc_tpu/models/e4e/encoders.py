@@ -17,13 +17,13 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..arcface import (_bn, _bn_init, _bottleneck_ir_se, _conv, _prelu,
+from ..arcface import (_bn, _bottleneck_ir_se, _conv, _prelu,
                        ir_se_50_layout)
 
 # Feature-tap indices in the 24-bottleneck IR-50 body (psp_encoders.py:100-107)

@@ -9,7 +9,7 @@ latent_mask/style-mixing injection, decode with input_is_latent=True
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -13,9 +13,8 @@ calls so the cascade doesn't recompile per box count.
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ names (get_nets.py:54-56 et al.).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ Weight import maps torchvision `features.N.{weight,bias}` names.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,13 +12,13 @@ import maps the rosinality `d` state dict.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops import setup_filter_np, upfirdn2d, conv2d_resample
+from ...ops import setup_filter_np, conv2d_resample
 
 
 def d_channels(size: int, channel_multiplier: int = 2) -> Dict[int, int]:

@@ -31,8 +31,6 @@ reference which gates this on x.dtype==float16).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

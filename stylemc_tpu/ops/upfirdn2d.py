@@ -17,8 +17,7 @@ Layout is NCHW at the API boundary to keep npz/image interop bit-identical.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Sequence, Union
+from typing import Sequence, Union
 
 import jax
 import jax.numpy as jnp

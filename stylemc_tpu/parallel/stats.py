@@ -13,7 +13,7 @@ jax.experimental.multihost_utils for out-of-graph sync.
 from __future__ import annotations
 
 import collections
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -44,7 +44,7 @@ import optax
 
 from ..models.stylegan2.generator import (
     GeneratorConfig, synthesis, N_STYLE_CHANNELS, STYLE_DIM,
-    S_TRAINABLE_SPACE_CHANNELS, RESOLUTION_UNTIL_K,
+    S_TRAINABLE_SPACE_CHANNELS,
 )
 from ..models.clip import encode_image, unprocess
 from ..losses.clip_loss import make_text_direction

@@ -7,7 +7,7 @@ eps 1e-5, gradient centralization on tensors with ndim > 1 (gc_conv_only=False).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
