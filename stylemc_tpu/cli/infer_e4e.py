@@ -23,7 +23,11 @@ import numpy as np
               help="FFHQ-align faces before encoding (needs MTCNN weights)")
 @click.option("--stylegan_size", type=int, default=1024)
 @click.option("--batch", type=int, default=4)
-def main(images_dir, checkpoint_path, save_dir, align, stylegan_size, batch):
+@click.option("--save_images", is_flag=True, default=False,
+              help="also save the inverted reconstructions "
+                   "(scripts/inference.py parity)")
+def main(images_dir, checkpoint_path, save_dir, align, stylegan_size, batch,
+         save_images):
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -62,6 +66,16 @@ def main(images_dir, checkpoint_path, save_dir, align, stylegan_size, batch):
             x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
         codes = encode(x)
         latents.append(np.asarray(codes[:batch - pad]))
+        if save_images:
+            from PIL import Image
+            from ..edit import to_uint8_hwc
+            imgs_dir = os.path.join(save_dir, "inversions")
+            os.makedirs(imgs_dir, exist_ok=True)
+            recon = psp.decode(codes[:batch - pad])
+            for k, img_u8 in enumerate(to_uint8_hwc(recon)):
+                name = os.path.basename(chunk_paths[k])
+                Image.fromarray(img_u8, "RGB").save(
+                    os.path.join(imgs_dir, name))
         print(f"Inference took {time.time() - t0:.4f} seconds")
         t0 = time.time()
 

@@ -1,0 +1,4 @@
+from . import arcface, mapper, mobilenet, perceptual, resnet, deeplab
+
+__all__ = ["arcface", "mapper", "mobilenet", "perceptual", "resnet",
+           "deeplab"]

@@ -109,6 +109,15 @@ def conv2d_resample(x, w, f=None, up: int = 1, down: int = 1, padding=0,
 
     if down > 1:
         x = _pad_dilate(x, (1, 1), (px0, px1, py0, py1))
+        if f is not None and groups == 1:
+            # compose conv ∘ FIR into one strided conv (the mirror of the
+            # up-path fusion): S_d(C(C(u,w),f)) == S_d(C(u, w ⊛ f))
+            wk = _compose_kernel_with_fir(wk, f, gain=1.0,
+                                          flip_filter=flip_filter)
+            return lax.conv_general_dilated(
+                x, wk, window_strides=(down, down), padding="VALID",
+                feature_group_count=groups, dimension_numbers=dn,
+            )
         x = lax.conv_general_dilated(
             x, wk, window_strides=(1, 1), padding="VALID",
             feature_group_count=groups, dimension_numbers=dn,

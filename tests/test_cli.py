@@ -100,3 +100,80 @@ def test_generate_fromS_projected_w_branch(pkl_path, tmp_path):
                       catch_exceptions=False)
     assert r.exit_code == 0, r.output
     assert sorted(os.listdir(outdir)) == ["proj00.png", "proj01.png"]
+
+
+def test_legacy_cli_and_native_load(pkl_path, tmp_path):
+    from stylemc_tpu.cli.legacy import main as legacy
+    from stylemc_tpu.cli.generate_w import main as generate_w
+    runner = CliRunner()
+    out_npz = os.path.join(str(tmp_path), "converted.npz")
+    r = runner.invoke(legacy, ["--source", pkl_path, "--dest", out_npz],
+                      catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    # the converted .npz loads transparently as --network
+    w_file = os.path.join(str(tmp_path), "w.npz")
+    r = runner.invoke(generate_w, ["--network", out_npz, "--seeds", "3",
+                                   "--out_file", w_file],
+                      catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    # identical output to the .pkl path
+    w_file2 = os.path.join(str(tmp_path), "w2.npz")
+    r = runner.invoke(generate_w, ["--network", pkl_path, "--seeds", "3",
+                                   "--out_file", w_file2],
+                      catch_exceptions=False)
+    np.testing.assert_array_equal(np.load(w_file)["w"], np.load(w_file2)["w"])
+
+
+def test_compare_directions_cli(tmp_path):
+    from stylemc_tpu.cli.compare_directions import main as compare
+    import json
+    a = np.zeros((1, 26, 512), np.float32)
+    a[:, 2, :64] = 1.0
+    b = a * 2.0            # same direction, different magnitude → cosine 1
+    pa = os.path.join(str(tmp_path), "a.npz")
+    pb = os.path.join(str(tmp_path), "b.npz")
+    np.savez(pa, s=a)
+    np.savez(pb, s=b)
+    runner = CliRunner()
+    r = runner.invoke(compare, [pa, pb], catch_exceptions=False)
+    assert r.exit_code == 0
+    out = json.loads(r.output.strip().split("\n")[-1])
+    assert out["pass"] is True
+    assert out["min_active_cosine"] == 1.0
+    # orthogonal direction → fail
+    c = np.zeros_like(a)
+    c[:, 3, 64:128] = 1.0
+    pc = os.path.join(str(tmp_path), "c.npz")
+    np.savez(pc, s=c)
+    r = runner.invoke(compare, [pa, pc], catch_exceptions=False)
+    out = json.loads(r.output.strip().split("\n")[-1])
+    assert out["pass"] is False
+
+
+def test_power_sweep_video_mode(pkl_path, tmp_path):
+    from stylemc_tpu.cli.generate_w import main as generate_w
+    from stylemc_tpu.cli.w_s_converter import main as w_s_converter
+    from stylemc_tpu.cli.generate_fromS import main as generate_fromS
+    runner = CliRunner()
+    w_file = os.path.join(str(tmp_path), "w.npz")
+    s_file = os.path.join(str(tmp_path), "s.npz")
+    outdir = os.path.join(str(tmp_path), "sweep_out")
+    runner.invoke(generate_w, ["--network", pkl_path, "--seeds", "1",
+                               "--out_file", w_file], catch_exceptions=False)
+    runner.invoke(w_s_converter, ["--network", pkl_path, "--projected-w",
+                                  w_file, "--out_file", s_file],
+                  catch_exceptions=False)
+    os.makedirs(outdir, exist_ok=True)
+    d = np.zeros((1, 26, 512), np.float32)
+    d[:, 2, :32] = 0.3
+    np.savez(os.path.join(outdir, "direction_sweepy.npz"), s=d)
+    r = runner.invoke(generate_fromS,
+                      ["--network", pkl_path, "--s_input", s_file,
+                       "--outdir", outdir, "--text_prompt", "sweepy",
+                       "--power_sweep", "0:2:4"], catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    gifs = [f for f in os.listdir(outdir) if f.endswith(".gif")]
+    assert len(gifs) == 1
+    from PIL import Image
+    gif = Image.open(os.path.join(outdir, gifs[0]))
+    assert getattr(gif, "n_frames", 1) == 4
