@@ -86,9 +86,29 @@ def infinite_sampler(dataset_size: int, rank: int = 0, num_replicas: int = 1,
         idx += 1
 
 
+def prefetch_iterator(next_batch: Callable, depth: int = 2) -> Callable:
+    """Wrap a batch callable with a background-thread prefetch queue so host
+    image decoding overlaps device steps (the DataLoader(num_workers) role,
+    reference coach.py:63-70)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+    def worker():
+        while True:
+            q.put(next_batch())
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    return q.get
+
+
 def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
-                   flip: bool = False, seed: int = 0) -> Callable:
-    """→ callable returning (x, y) numpy batches forever (drop_last)."""
+                   flip: bool = False, seed: int = 0,
+                   prefetch: int = 0) -> Callable:
+    """→ callable returning (x, y) numpy batches forever (drop_last).
+    prefetch>0 decodes ahead on a background thread."""
     rng = np.random.RandomState(seed)
     order = np.arange(len(dataset))
     pos = [len(dataset)]  # force reshuffle on first call
@@ -109,4 +129,6 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
             y[do] = y[do, :, :, ::-1]
         return x, y
 
+    if prefetch > 0:
+        return prefetch_iterator(next_batch, depth=prefetch)
     return next_batch

@@ -366,10 +366,15 @@ class Coach:
 
     # ---------------------------------------------------------- checkpoints
 
-    def save_checkpoint(self, path: str):
+    def save_checkpoint(self, path: str, backend: str = "pickle"):
         """Full train state (net + optimizer + discriminator + step), the
-        reference's __get_save_dict analogue (coach.py:323-340), as an npz
-        pytree bundle."""
+        reference's __get_save_dict analogue (coach.py:323-340).
+
+        backend='orbax' writes an orbax StandardCheckpointer directory
+        (async-safe, multi-host-aware) instead of the pickle bundle."""
+        if backend == "orbax":
+            self._save_orbax(path)
+            return
         import pickle
         state = {
             "global_step": self.global_step,
@@ -392,7 +397,57 @@ class Coach:
         with open(path, "wb") as f:
             pickle.dump(state, f)
 
-    def load_checkpoint(self, path: str):
+    def _save_orbax(self, path: str):
+        import orbax.checkpoint as ocp
+
+        state = {
+            "encoder_params": self.psp.encoder_params,
+            "decoder_params": self.psp.decoder_params,
+            "opt_state": self.opt_state,
+        }
+        if self.psp.latent_avg is not None:
+            state["latent_avg"] = self.psp.latent_avg
+        if self.discriminator_params is not None:
+            state["discriminator_params"] = self.discriminator_params
+            state["d_opt_state"] = self.d_opt_state
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(path), state, force=True)
+        import json
+        with open(os.path.join(path, "coach_meta.json"), "w") as f:
+            json.dump({"global_step": self.global_step,
+                       "best_val_loss": self.best_val_loss,
+                       "opts": dataclasses.asdict(self.opts)}, f)
+
+    def load_checkpoint(self, path: str, backend: str = "pickle"):
+        if backend == "orbax" or os.path.isdir(path):
+            import json
+            import orbax.checkpoint as ocp
+
+            target = {
+                "encoder_params": self.psp.encoder_params,
+                "decoder_params": self.psp.decoder_params,
+                "opt_state": self.opt_state,
+            }
+            if self.psp.latent_avg is not None:
+                target["latent_avg"] = self.psp.latent_avg
+            if self.discriminator_params is not None:
+                target["discriminator_params"] = self.discriminator_params
+                target["d_opt_state"] = self.d_opt_state
+            with ocp.StandardCheckpointer() as ckptr:
+                state = ckptr.restore(os.path.abspath(path), target)
+            self.psp.encoder_params = state["encoder_params"]
+            self.psp.decoder_params = state["decoder_params"]
+            self.opt_state = state["opt_state"]
+            if "latent_avg" in state:
+                self.psp.latent_avg = state["latent_avg"]
+            if "discriminator_params" in state:
+                self.discriminator_params = state["discriminator_params"]
+                self.d_opt_state = state["d_opt_state"]
+            with open(os.path.join(path, "coach_meta.json")) as f:
+                meta = json.load(f)
+            self.global_step = meta["global_step"]
+            self.best_val_loss = meta["best_val_loss"]
+            return
         import pickle
         with open(path, "rb") as f:
             state = pickle.load(f)

@@ -216,3 +216,27 @@ def test_coach_checkpoint_roundtrip(tiny_coach, tmp_path):
     coach.global_step = 999
     coach.load_checkpoint(path)
     assert coach.global_step == step0
+
+
+def test_coach_orbax_checkpoint_roundtrip(tiny_coach, tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    coach = tiny_coach
+    path = str(tmp_path / "orbax_ckpt")
+    coach.save_checkpoint(path, backend="orbax")
+    step0 = coach.global_step
+    coach.global_step = 12345
+    coach.load_checkpoint(path, backend="orbax")
+    assert coach.global_step == step0
+
+
+def test_prefetch_iterator():
+    from stylemc_tpu.data.images import prefetch_iterator
+    import itertools
+    counter = itertools.count()
+
+    def make():
+        return next(counter)
+
+    get = prefetch_iterator(make, depth=2)
+    got = {get() for _ in range(5)}
+    assert got == {0, 1, 2, 3, 4}
