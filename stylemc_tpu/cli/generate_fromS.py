@@ -48,7 +48,8 @@ def main(network_pkl, network2_pkl, noise_mode, projected_w, s_input,
     from ..models.stylegan2.generator import synthesis
     from ..models.mapper import params_from_torch_state
     from ..edit import (apply_edit_batch, apply_edit_item_with_blending,
-                        mapper_direction, to_uint8_hwc)
+                        mapper_direction, mapper_directions_batched,
+                        to_uint8_hwc)
 
     print(f'Loading networks from "{network_pkl}"...')
     cfg, params = load_generator(network_pkl)
@@ -132,7 +133,9 @@ def main(network_pkl, network2_pkl, noise_mode, projected_w, s_input,
             hi = min(lo + batch, n_items)
             chunk = styles[lo:hi]
             if mapper_params is not None:
-                dirs = jnp.concatenate([direction_for(i) for i in range(lo, hi)])
+                dirs = mapper_directions_batched(
+                    mapper_params, chunk, neg_slope=mapper_neg_slope,
+                    use_whitelist=bool(use_whitelist))
             else:
                 dirs = global_direction
             orig, edited = apply_edit_batch(params, cfg, chunk, dirs,

@@ -61,6 +61,26 @@ def mapper_direction(mapper_params, styles_item, neg_slope: float = 0.01,
     return direction
 
 
+def mapper_directions_batched(mapper_params, styles, neg_slope: float = 0.01,
+                              use_whitelist: bool = False):
+    """Batched per-item mapper directions: styles [N, 26, 512] →
+    directions [N, 26, 512] in one mapper_apply call (the reference computes
+    them one item at a time, generate_fromS.py:147-162)."""
+    delta = mapper_apply(mapper_params, styles[:, TRAINABLE], neg_slope)
+    if use_whitelist:
+        delta = jnp.where(jnp.abs(delta) < 0.1, 0.0, delta)
+    n = styles.shape[0]
+    directions = jnp.zeros((n, N_STYLE_CHANNELS, STYLE_DIM), delta.dtype)
+    directions = directions.at[:, TRAINABLE].set(delta)
+    if use_whitelist:
+        mask = np.zeros(N_STYLE_CHANNELS * STYLE_DIM, dtype=bool)
+        mask[np.asarray(STOPLIST_S_IDS)] = True
+        directions = jnp.where(
+            jnp.asarray(mask.reshape(1, N_STYLE_CHANNELS, STYLE_DIM)),
+            0.0, directions)
+    return directions
+
+
 def to_uint8_hwc(img) -> np.ndarray:
     """[N,3,H,W] in [-1,1] → uint8 [N,H,W,3] (reference :174-175)."""
     x = np.asarray(jnp.clip(jnp.transpose(img, (0, 2, 3, 1)) * 127.5 + 128,

@@ -70,6 +70,10 @@ class CoachOptions:
     progressive_step_every: int = 2000
     exp_dir: str = "experiments/e4e"
     seed: int = 0
+    # optional global-norm gradient clip (0 = off, reference parity). The
+    # Ranger/RAdam warmup phase applies ~lr·|g| un-normalized — with
+    # pathological inits/batches that diverges (in the reference too).
+    grad_clip: float = 0.0
 
     def __post_init__(self):
         if self.progressive_start is not None:
@@ -132,9 +136,13 @@ class Coach:
             self.psp.decoder_params = trainable["decoder"]
 
     def _make_optimizer(self):
-        if self.opts.optim_name == "ranger":
-            return ranger(self.opts.learning_rate)
-        return optax.adam(self.opts.learning_rate)
+        base = ranger(self.opts.learning_rate) \
+            if self.opts.optim_name == "ranger" \
+            else optax.adam(self.opts.learning_rate)
+        if self.opts.grad_clip > 0:
+            return optax.chain(optax.clip_by_global_norm(self.opts.grad_clip),
+                               base)
+        return base
 
     def progressive_stage(self) -> int:
         """Stage index for the current global step (coach.py:148-155)."""

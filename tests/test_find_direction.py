@@ -182,3 +182,15 @@ def test_split_step_matches_fused(setup):
                            fdc_split, tokenizer=FallbackTokenizer())
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
                                rtol=5e-3, atol=5e-4)
+
+
+def test_mapper_directions_batched_matches_per_item():
+    from stylemc_tpu.edit import mapper_directions_batched
+    params = init_mapper_params(jax.random.PRNGKey(6))
+    styles = jax.random.normal(jax.random.PRNGKey(7), (3, N_STYLE_CHANNELS, 512))
+    batched = np.asarray(mapper_directions_batched(params, styles,
+                                                   use_whitelist=True))
+    for i in range(3):
+        single = np.asarray(mapper_direction(params, styles[i],
+                                             use_whitelist=True))[0]
+        np.testing.assert_allclose(batched[i], single, rtol=1e-5, atol=1e-6)
