@@ -25,15 +25,22 @@ def calculate_lec(psp, data_iter: Iterable, edit_function: Callable,
                   n_batches: int = 16) -> float:
     """psp: models.e4e.psp.PSP; data_iter yields (x, _) numpy batches."""
 
+    import dataclasses as _dc
+
     @jax.jit
-    def roundtrip(x):
-        codes = psp.encode(x)
+    def _roundtrip(enc_params, dec_params, x):
+        p = _dc.replace(psp, encoder_params=enc_params,
+                        decoder_params=dec_params)
+        codes = p.encode(x)
         edited = edit_function(codes)
-        image = psp.decode(edited, resize=True, noise_mode="const")
-        inv_codes = psp.encode(image)
+        image = p.decode(edited, resize=True, noise_mode="const")
+        inv_codes = p.encode(image)
         inv = inverse_edit_function(inv_codes)
         return jnp.mean(jnp.sqrt(jnp.sum(jnp.square(codes - inv),
                                          axis=(1, 2))))
+
+    def roundtrip(x):
+        return _roundtrip(psp.encoder_params, psp.decoder_params, x)
 
     distances = []
     for i, batch in enumerate(data_iter):

@@ -70,10 +70,12 @@ def _gen_images(opts: MetricOptions, n: int):
     from ..models.stylegan2.generator import mapping, w_to_s, synthesis
 
     @jax.jit
-    def run(z):
-        ws = mapping(opts.gen_params, opts.gen_cfg, z)
-        s = w_to_s(opts.gen_params, opts.gen_cfg, ws)
-        img = synthesis(opts.gen_params, opts.gen_cfg, s)
+    def run(gp, z):
+        # generator weights as a jit ARGUMENT (closure'd weights embed as
+        # HLO literals — fatal for remote-compile toolchains)
+        ws = mapping(gp, opts.gen_cfg, z)
+        s = w_to_s(gp, opts.gen_cfg, ws)
+        img = synthesis(gp, opts.gen_cfg, s)
         img = jnp.clip(jnp.transpose(img, (0, 2, 3, 1)) * 127.5 + 128, 0, 255)
         return img
 
@@ -82,7 +84,7 @@ def _gen_images(opts: MetricOptions, n: int):
     while done < n:
         rng, k = jax.random.split(rng)
         z = jax.random.normal(k, (opts.batch_size, opts.gen_cfg.z_dim))
-        imgs = np.asarray(run(z)).astype(np.uint8)
+        imgs = np.asarray(run(opts.gen_params, z)).astype(np.uint8)
         take = min(opts.batch_size, n - done)
         done += take
         if opts.progress_fn:
@@ -172,17 +174,18 @@ def ppl2_wend(opts):
     from ..models.stylegan2.generator import mapping, w_to_s, synthesis
     from .ppl import compute_ppl
 
-    def mapping_fn(z):
-        return mapping(opts.gen_params, opts.gen_cfg, z)
+    def mapping_fn(gp, z):
+        return mapping(gp, opts.gen_cfg, z)
 
-    def synthesis_fn(ws):
-        s = w_to_s(opts.gen_params, opts.gen_cfg, ws)
-        return synthesis(opts.gen_params, opts.gen_cfg, s)
+    def synthesis_fn(gp, ws):
+        s = w_to_s(gp, opts.gen_cfg, ws)
+        return synthesis(gp, opts.gen_cfg, s)
 
     ppl = compute_ppl(mapping_fn, synthesis_fn, opts.lpips_params,
                       opts.gen_cfg.z_dim, num_samples=opts.num_gen,
                       epsilon=1e-4, space="w", sampling="end", crop=False,
-                      batch_size=opts.batch_size, seed=opts.seed)
+                      batch_size=opts.batch_size, seed=opts.seed,
+                      gen_params=opts.gen_params)
     return {"ppl2_wend": ppl}
 
 

@@ -48,25 +48,27 @@ def compute_ppl(mapping_fn: Callable, synthesis_fn: Callable,
                 num_samples: int = 2000, epsilon: float = 1e-4,
                 space: str = "w", sampling: str = "end",
                 crop: bool = False, batch_size: int = 8,
-                seed: int = 0) -> float:
-    """mapping_fn(z) → ws [N, num_ws, 512]; synthesis_fn(ws) → imgs [-1,1]."""
+                seed: int = 0, gen_params=None) -> float:
+    """mapping_fn(gen_params, z) → ws; synthesis_fn(gen_params, ws) → imgs
+    [-1,1]. `gen_params`/`lpips_params` flow through the jit as ARGUMENTS
+    (closure'd weights embed as HLO literals)."""
     rng = jax.random.PRNGKey(seed)
     dists = []
 
     @jax.jit
-    def pair_distance(z0, z1, t):
+    def pair_distance(gp, lp, z0, z1, t):
         if space == "w":
-            w0 = mapping_fn(z0)
-            w1 = mapping_fn(z1)
+            w0 = mapping_fn(gp, z0)
+            w1 = mapping_fn(gp, z1)
             wt0 = w0 + (w1 - w0) * t[:, None, None]
             wt1 = w0 + (w1 - w0) * (t[:, None, None] + epsilon)
         else:
             zt0 = slerp(z0, z1, t[:, None])
             zt1 = slerp(z0, z1, t[:, None] + epsilon)
-            wt0 = mapping_fn(zt0)
-            wt1 = mapping_fn(zt1)
-        img0 = synthesis_fn(wt0)
-        img1 = synthesis_fn(wt1)
+            wt0 = mapping_fn(gp, zt0)
+            wt1 = mapping_fn(gp, zt1)
+        img0 = synthesis_fn(gp, wt0)
+        img1 = synthesis_fn(gp, wt1)
         if crop:
             c = img0.shape[2] // 8
             img0 = img0[:, :, c * 3:c * 7, c * 2:c * 6]
@@ -78,7 +80,7 @@ def compute_ppl(mapping_fn: Callable, synthesis_fn: Callable,
                                 w // factor, factor).mean(axis=(3, 5))
             img1 = img1.reshape(n, ch, h // factor, factor,
                                 w // factor, factor).mean(axis=(3, 5))
-        return _lpips_distance_pairs(lpips_params, img0, img1) / epsilon ** 2
+        return _lpips_distance_pairs(lp, img0, img1) / epsilon ** 2
 
     for lo in range(0, num_samples, batch_size):
         rng, k0, k1, kt = jax.random.split(rng, 4)
@@ -88,7 +90,8 @@ def compute_ppl(mapping_fn: Callable, synthesis_fn: Callable,
             t = jax.random.uniform(kt, (batch_size,))
         else:
             t = jnp.zeros((batch_size,))
-        dists.append(np.asarray(pair_distance(z0, z1, t)))
+        dists.append(np.asarray(pair_distance(gen_params, lpips_params,
+                                              z0, z1, t)))
     d = np.concatenate(dists)[:num_samples]
 
     # reference filters to [1%, 99%] quantiles (perceptual_path_length.py:121-125)

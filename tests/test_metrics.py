@@ -107,10 +107,10 @@ def test_slerp_endpoints():
 def test_compute_ppl_smooth_generator():
     lpips = init_lpips_params(jax.random.PRNGKey(0), "vgg")
 
-    def mapping_fn(z):
+    def mapping_fn(gp, z):
         return jnp.repeat(z[:, None, :], 4, axis=1)
 
-    def synthesis_fn(ws):
+    def synthesis_fn(gp, ws):
         # smooth "generator": broadcast w into an image
         w = ws[:, 0, :48]
         return jnp.tanh(w.reshape(-1, 3, 4, 4)).repeat(16, 2).repeat(16, 3)
