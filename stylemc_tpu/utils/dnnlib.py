@@ -149,6 +149,42 @@ def open_url(url: str, cache_dir: Optional[str] = None, num_attempts: int = 10,
     return io.BytesIO(url_data)
 
 
+def download_file(session, file_spec: dict, chunk_size: int = 128,
+                  num_attempts: int = 10) -> None:
+    """Download with retry + md5 verification (reference
+    deeplab_utils.py:47-90): file_spec = {file_url, file_path, file_size?,
+    file_md5?}."""
+    file_path = file_spec["file_path"]
+    file_url = file_spec["file_url"]
+    file_dir = os.path.dirname(file_path)
+    tmp_path = file_path + ".tmp." + uuid.uuid4().hex
+    if file_dir:
+        os.makedirs(file_dir, exist_ok=True)
+
+    for attempts_left in reversed(range(num_attempts)):
+        data_md5 = hashlib.md5()
+        try:
+            with session.get(file_url, stream=True) as res:
+                res.raise_for_status()
+                with open(tmp_path, "wb") as f:
+                    for chunk in res.iter_content(chunk_size=chunk_size << 10):
+                        f.write(chunk)
+                        data_md5.update(chunk)
+            if "file_size" in file_spec:
+                if os.stat(tmp_path).st_size != file_spec["file_size"]:
+                    raise IOError("Incorrect file size", file_path)
+            if "file_md5" in file_spec:
+                if data_md5.hexdigest() != file_spec["file_md5"]:
+                    raise IOError("Incorrect file MD5", file_path)
+            break
+        except Exception:
+            if os.path.exists(tmp_path):
+                os.remove(tmp_path)
+            if not attempts_left:
+                raise
+    os.replace(tmp_path, file_path)
+
+
 def get_obj_by_name(name: str) -> Any:
     """reference util.py:262-276 (module.attr resolution)."""
     parts = name.split(".")

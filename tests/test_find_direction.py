@@ -194,3 +194,14 @@ def test_mapper_directions_batched_matches_per_item():
         single = np.asarray(mapper_direction(params, styles[i],
                                              use_whitelist=True))[0]
         np.testing.assert_allclose(batched[i], single, rtol=1e-5, atol=1e-6)
+
+
+def test_find_direction_bf16(setup):
+    gen_cfg, gen_params, clip_models, arcface, styles = setup
+    import dataclasses as dc
+    cfg_bf16 = dc.replace(gen_cfg, low_precision_dtype="bfloat16")
+    d, info = find_direction(gen_params, cfg_bf16, styles, clip_models,
+                             arcface, _fdc(clip_type="small"),
+                             tokenizer=FallbackTokenizer())
+    assert np.isfinite(info["history"]).all()
+    assert np.isfinite(np.asarray(d)).all()
