@@ -56,8 +56,6 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt,
          batch_size, learning_rate, n_epochs, resume, identity_loss_coef,
          landmarks_loss_coef, l2_reg_coef, clip_loss_coef, arcface_weights,
          allow_random_init, data_parallel, split_step, bf16):
-    import jax
-
     from ..io import load_generator
     from ..train.find_direction import FindDirectionConfig, find_direction
     from ..utils.model_zoo import load_clip_models, load_arcface

@@ -15,7 +15,6 @@ TPU-first: rendering is batched across items in one jit'd synthesis call
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -94,15 +93,6 @@ def resize_mask_area(mask: np.ndarray, res: int) -> np.ndarray:
     import cv2
     return cv2.resize(mask.astype("float"), (res, res),
                       interpolation=cv2.INTER_AREA)
-
-
-@dataclasses.dataclass
-class EditConfig:
-    change_power: float = 2.0
-    noise_mode: str = "const"
-    use_blending: bool = False
-    use_whitelist: bool = False
-    mapper_neg_slope: float = 0.01
 
 
 def apply_edit_batch(gen_params, gen_cfg: GeneratorConfig, styles,

@@ -151,7 +151,7 @@ _upsample2x_core.defvjp(_upsample2x_fwd, _upsample2x_bwd)
 
 
 def upsample2d_pallas(x, f, up: int = 2, padding=0, flip_filter: bool = False,
-                      gain: float = 1.0, interpret: bool = False):
+                      gain: float = 1.0):
     """Drop-in for ops.upsample2d on the hot configuration; XLA fallback
     otherwise."""
     n, c, h, w = x.shape

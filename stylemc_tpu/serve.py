@@ -1,0 +1,144 @@
+"""Batch edit serving.
+
+A thin production path over the editing stack: pre-jitted render/edit
+programs with bucketed batch shapes (no recompiles at request time), device-
+resident weights, and uint8 outputs. The reference has no serving layer
+(SURVEY.md §1); this is the minimal TPU-native one implied by the direction/
+mapper artifacts the pipeline produces.
+
+Usage:
+    editor = BatchEditor.from_files(network="ffhq.npz",
+                                    direction="runs/m2f/direction_x.npz")
+    imgs_u8 = editor.edit_seeds([1, 2, 3], change_power=2.0)
+    pairs_u8 = editor.edit_styles(styles, change_power=1.5, pairs=True)
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.stylegan2.generator import (GeneratorConfig, mapping, w_to_s,
+                                         synthesis)
+from .models.mapper import mapper_apply
+from .edit import (N_STYLE_CHANNELS, STYLE_DIM, TRAINABLE,
+                   mapper_directions_batched, to_uint8_hwc)
+
+
+class BatchEditor:
+    """Pre-compiled seed/style → edited-image service.
+
+    Batch sizes bucket to powers of two up to `max_batch`; each bucket's
+    programs compile once (weights flow as jit arguments, so graphs are
+    small and cache across processes via the persistent compile cache).
+    """
+
+    def __init__(self, gen_cfg: GeneratorConfig, gen_params,
+                 direction: Optional[np.ndarray] = None,
+                 mapper_params=None, mapper_neg_slope: float = 0.01,
+                 max_batch: int = 64, truncation_psi: float = 0.7,
+                 noise_mode: str = "const"):
+        self.cfg = gen_cfg
+        self.params = jax.device_put(gen_params)
+        self.direction = None if direction is None else \
+            jax.device_put(jnp.asarray(direction, jnp.float32))
+        self.mapper_params = None if mapper_params is None else \
+            jax.device_put(mapper_params)
+        self.mapper_neg_slope = mapper_neg_slope
+        self.truncation_psi = truncation_psi
+        self.noise_mode = noise_mode
+        self.buckets = [b for b in (1, 2, 4, 8, 16, 32, 64) if b <= max_batch]
+
+        self._styles_from_z = jax.jit(
+            lambda gp, z: w_to_s(gp, self.cfg,
+                                 mapping(gp, self.cfg, z,
+                                         truncation_psi=self.truncation_psi)))
+        self._render = jax.jit(
+            lambda gp, s: synthesis(gp, self.cfg, s,
+                                    noise_mode=self.noise_mode))
+
+    # ------------------------------------------------------------- plumbing
+
+    def _bucket(self, n: int) -> int:
+        i = bisect.bisect_left(self.buckets, n)
+        if i == len(self.buckets):
+            return self.buckets[-1]
+        return self.buckets[i]
+
+    def _pad(self, x: jnp.ndarray, b: int):
+        n = x.shape[0]
+        if n == b:
+            return x
+        return jnp.concatenate([x, jnp.repeat(x[-1:], b - n, axis=0)], axis=0)
+
+    def _directions_for(self, styles: jnp.ndarray) -> jnp.ndarray:
+        if self.mapper_params is not None:
+            return mapper_directions_batched(self.mapper_params, styles,
+                                             neg_slope=self.mapper_neg_slope)
+        assert self.direction is not None, "no direction or mapper loaded"
+        return self.direction
+
+    # -------------------------------------------------------------- public
+
+    def styles_from_seeds(self, seeds: Sequence[int]) -> jnp.ndarray:
+        zs = np.concatenate([np.random.RandomState(s).randn(1, self.cfg.z_dim)
+                             for s in seeds]).astype(np.float32)
+        out = []
+        for lo in range(0, len(seeds), self.buckets[-1]):
+            chunk = jnp.asarray(zs[lo:lo + self.buckets[-1]])
+            b = self._bucket(chunk.shape[0])
+            s = self._styles_from_z(self.params, self._pad(chunk, b))
+            out.append(s[:chunk.shape[0]])
+        return jnp.concatenate(out, axis=0)
+
+    def edit_styles(self, styles, change_power: float = 2.0,
+                    pairs: bool = False) -> np.ndarray:
+        """styles [N, 26, 512] → uint8 HWC images; pairs=True returns
+        [orig | edited] concatenations."""
+        styles = jnp.asarray(styles, jnp.float32)
+        outs = []
+        for lo in range(0, styles.shape[0], self.buckets[-1]):
+            chunk = styles[lo:lo + self.buckets[-1]]
+            n = chunk.shape[0]
+            b = self._bucket(n)
+            padded = self._pad(chunk, b)
+            d = self._directions_for(padded)
+            edited = self._render(self.params, padded + d * change_power)
+            if pairs:
+                orig = self._render(self.params, padded)
+                img = np.concatenate([to_uint8_hwc(orig),
+                                      to_uint8_hwc(edited)], axis=2)
+            else:
+                img = to_uint8_hwc(edited)
+            outs.append(img[:n])
+        return np.concatenate(outs, axis=0)
+
+    def edit_seeds(self, seeds: Sequence[int], change_power: float = 2.0,
+                   pairs: bool = False) -> np.ndarray:
+        return self.edit_styles(self.styles_from_seeds(seeds),
+                                change_power=change_power, pairs=pairs)
+
+    def warmup(self):
+        """Compile every bucket ahead of serving."""
+        for b in self.buckets:
+            s = jnp.zeros((b, N_STYLE_CHANNELS, STYLE_DIM), jnp.float32)
+            self.edit_styles(s, change_power=0.0)
+
+    # ------------------------------------------------------------- loading
+
+    @classmethod
+    def from_files(cls, network: str, direction: Optional[str] = None,
+                   mapper: Optional[str] = None, **kwargs) -> "BatchEditor":
+        from .io import load_generator, load_state_dict_numpy
+        from .models.mapper import params_from_torch_state
+
+        cfg, params = load_generator(network)
+        d = np.load(direction)["s"] if direction else None
+        mp = None
+        if mapper:
+            mp = params_from_torch_state(load_state_dict_numpy(mapper))
+        return cls(cfg, params, direction=d, mapper_params=mp, **kwargs)

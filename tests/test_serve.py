@@ -1,0 +1,60 @@
+"""BatchEditor serving-path tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stylemc_tpu.serve import BatchEditor
+from stylemc_tpu.models.stylegan2.generator import (
+    GeneratorConfig, init_generator_params, N_STYLE_CHANNELS,
+)
+from stylemc_tpu.models.mapper import init_mapper_params
+
+
+def _editor(**kw):
+    cfg = GeneratorConfig(img_resolution=32, channel_base=1024, channel_max=64,
+                          mapping_layers=2)
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    d = np.zeros((1, N_STYLE_CHANNELS, 512), np.float32)
+    d[:, 2, :64] = 0.5
+    return BatchEditor(cfg, params, direction=d, max_batch=4, **kw)
+
+
+def test_edit_seeds_pairs():
+    editor = _editor()
+    out = editor.edit_seeds([1, 2, 3], change_power=2.0, pairs=True)
+    assert out.shape == (3, 32, 64, 3)
+    assert out.dtype == np.uint8
+    left, right = out[:, :, :32].astype(int), out[:, :, 32:].astype(int)
+    assert np.abs(left - right).max() > 0
+
+
+def test_edit_zero_power_identity():
+    editor = _editor()
+    out = editor.edit_seeds([5], change_power=0.0, pairs=True)
+    left, right = out[0, :, :32], out[0, :, 32:]
+    np.testing.assert_array_equal(left, right)
+
+
+def test_bucketing_consistency():
+    editor = _editor()
+    styles = np.asarray(editor.styles_from_seeds([1, 2, 3, 4, 5]))
+    all_at_once = editor.edit_styles(styles, change_power=1.0)
+    one_by_one = np.concatenate(
+        [editor.edit_styles(styles[i:i + 1], change_power=1.0)
+         for i in range(5)])
+    # different batch shapes reassociate conv reductions → at most ±1 uint8
+    assert np.abs(all_at_once.astype(int) - one_by_one.astype(int)).max() <= 1
+
+
+def test_mapper_backend():
+    cfg = GeneratorConfig(img_resolution=32, channel_base=1024, channel_max=64,
+                          mapping_layers=2)
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    editor = BatchEditor(cfg, params,
+                         mapper_params=init_mapper_params(jax.random.PRNGKey(1)),
+                         max_batch=2)
+    out = editor.edit_seeds([1, 2], change_power=1.0, pairs=True)
+    assert out.shape == (2, 32, 64, 3)
+    left, right = out[:, :, :32].astype(int), out[:, :, 32:].astype(int)
+    assert np.abs(left - right).max() > 0
