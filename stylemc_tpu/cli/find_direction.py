@@ -51,11 +51,15 @@ import numpy as np
 @click.option("--bf16", is_flag=True, default=False,
               help="bfloat16 synthesis on the top num_fp16_res blocks "
                    "(the reference's fp16 policy; ~1.5x step speed)")
+@click.option("--perception_bf16", is_flag=True, default=False,
+              help="Run CLIP/ArcFace in bfloat16 (the TPU analogue of the "
+                   "reference's fp16 CLIP on CUDA)")
 def main(network_pkl, noise_mode, s_input, outdir, text_prompt,
          negative_text_prompt, clip_type, clip_loss_type, resolution,
          batch_size, learning_rate, n_epochs, resume, identity_loss_coef,
          landmarks_loss_coef, l2_reg_coef, clip_loss_coef, arcface_weights,
-         allow_random_init, data_parallel, split_step, bf16):
+         allow_random_init, data_parallel, split_step, bf16,
+         perception_bf16):
     from ..io import load_generator
     from ..train.find_direction import FindDirectionConfig, find_direction
     from ..utils.model_zoo import load_clip_models, load_arcface
@@ -82,7 +86,8 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt,
         landmarks_loss_coef=landmarks_loss_coef,
         l2_reg_coef=l2_reg_coef, clip_loss_coef=clip_loss_coef,
         clip_type=clip_type, clip_loss_type=clip_loss_type,
-        noise_mode=noise_mode, split_step=split_step)
+        noise_mode=noise_mode, split_step=split_step,
+        perception_dtype="bfloat16" if perception_bf16 else "float32")
 
     clip_models, tokenizer = load_clip_models(
         fdc.clip_type, allow_random_init=allow_random_init)

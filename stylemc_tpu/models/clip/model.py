@@ -70,10 +70,16 @@ def quick_gelu(x):
 
 
 def layer_norm(p, x, eps=1e-5):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    xn = (x - mu) * jax.lax.rsqrt(var + eps)
-    return xn * p["weight"] + p["bias"]
+    # stats in fp32, result cast back to the compute dtype — the reference's
+    # LayerNorm subclass does exactly this under fp16 (CLIP/clip/model.py:157).
+    # Without the final astype, fp32 weights would silently upcast a bf16
+    # activation stream back to fp32 at every LN.
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (xn * p["weight"] + p["bias"]).astype(dt)
 
 
 def _linear(p, x):

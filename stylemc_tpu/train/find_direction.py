@@ -78,6 +78,10 @@ class FindDirectionConfig:
     # on the monolithic generator+2×CLIP+ArcFace fwd+bwd graph). Costs one
     # extra synthesis forward per step; numerics identical.
     split_step: bool = False
+    # run the perception nets (CLIP/ArcFace) in bfloat16 — the TPU analogue
+    # of the reference's fp16 CLIP on CUDA (clip.load casts to half there).
+    # 'float32' keeps full-precision parity.
+    perception_dtype: str = "float32"
 
 
 def until_k_for_resolution(resolution: int) -> int:
@@ -133,17 +137,20 @@ def make_clip_bundles(fdc: FindDirectionConfig, clip_models: Dict[str, Tuple],
 
 
 def _clip_image_features(bundle: CLIPBundle, img, clip_loss_type: str = "default",
-                         clip_params=None):
+                         clip_params=None, dtype: str = "float32"):
     """clip_params overrides bundle.params when the weights are routed as a
     jit argument (weights embedded as HLO literals make remote-compile
-    request bodies exceed size limits)."""
+    request bodies exceed size limits). dtype='bfloat16' runs the encoder in
+    bf16 (reference parity: clip.load is fp16 on CUDA); features return fp32."""
     size = bundle.cfg.image_resolution
     if clip_loss_type in ("nada", "nada_global"):
         x = preprocess_nada(img, size)
     else:
         x = unprocess(img, size)
     params = clip_params if clip_params is not None else bundle.params
-    return encode_image(params, bundle.cfg, x)
+    if dtype != "float32":
+        x = x.astype(jnp.dtype(dtype))
+    return encode_image(params, bundle.cfg, x).astype(jnp.float32)
 
 
 def precompute_original_features(gen_params, gen_cfg: GeneratorConfig,
@@ -163,7 +170,8 @@ def precompute_original_features(gen_params, gen_cfg: GeneratorConfig,
     id_feats = jax.jit(lambda ap, img: extract_feats(ap, img,
                                                      fdc.arcface_layout))
     clip_feats = [jax.jit(functools.partial(_clip_image_features, b,
-                                            clip_loss_type=fdc.clip_loss_type))
+                                            clip_loss_type=fdc.clip_loss_type,
+                                            dtype=fdc.perception_dtype))
                   for b in bundles]
 
     def feats(styles):
@@ -192,11 +200,12 @@ def precompute_original_features(gen_params, gen_cfg: GeneratorConfig,
 
 
 def _clip_term_from_img(bundle: CLIPBundle, clip_loss_type: str, img, orig_f,
-                        clip_params=None):
+                        clip_params=None, dtype: str = "float32"):
     """One bundle's CLIP alignment term given the rendered image and the
     cached original-image features (un-normalized encode_image outputs)."""
     cp = clip_params if clip_params is not None else bundle.params
-    f_tgt = _clip_image_features(bundle, img, clip_loss_type, clip_params=cp)
+    f_tgt = _clip_image_features(bundle, img, clip_loss_type, clip_params=cp,
+                                 dtype=dtype)
     if clip_loss_type == "nada_global":
         f_n = f_tgt / jnp.linalg.norm(f_tgt, axis=-1, keepdims=True)
         t_n = bundle.nada_anchors.target_text_features
@@ -257,7 +266,10 @@ def make_loss_fn(gen_params, gen_cfg: GeneratorConfig,
                         noise_mode=fdc.noise_mode)
 
         # --- identity loss (reference id_loss.py:26-39, orig feats detached)
-        id_f = extract_feats(mp_arc, img, fdc.arcface_layout)
+        id_img = img.astype(jnp.dtype(fdc.perception_dtype)) \
+            if fdc.perception_dtype != "float32" else img
+        id_f = extract_feats(mp_arc, id_img, fdc.arcface_layout).astype(
+            jnp.float32)
         identity_loss = jnp.mean(1.0 - jnp.sum(id_f * id_feats_orig, axis=1))
         identity_loss = identity_loss * fdc.identity_loss_coef
 
@@ -265,7 +277,8 @@ def make_loss_fn(gen_params, gen_cfg: GeneratorConfig,
         clip_loss = 0.0
         for b, orig_f, cp in zip(bundles, clip_feats_orig, mp_clip):
             clip_loss = clip_loss + b.weight * _clip_term_from_img(
-                b, fdc.clip_loss_type, img, orig_f, clip_params=cp)
+                b, fdc.clip_loss_type, img, orig_f, clip_params=cp,
+                dtype=fdc.perception_dtype)
         clip_loss = clip_loss * fdc.clip_loss_coef
 
         # --- L2 manipulation regularizer (find_direction.py:190-191)
@@ -300,7 +313,9 @@ def _make_split_step(gen_params, gen_cfg: GeneratorConfig,
     @jax.jit
     def id_vg(ap, img, id_feats_orig):
         def f(i):
-            idf = extract_feats(ap, i, fdc.arcface_layout)
+            if fdc.perception_dtype != "float32":
+                i = i.astype(jnp.dtype(fdc.perception_dtype))
+            idf = extract_feats(ap, i, fdc.arcface_layout).astype(jnp.float32)
             return fdc.identity_loss_coef * jnp.mean(
                 1.0 - jnp.sum(idf * id_feats_orig, axis=1))
         return jax.value_and_grad(f)(img)
@@ -310,7 +325,8 @@ def _make_split_step(gen_params, gen_cfg: GeneratorConfig,
         def vg(cp, img, orig_f):
             def f(i):
                 return fdc.clip_loss_coef * b.weight * _clip_term_from_img(
-                    b, fdc.clip_loss_type, i, orig_f, clip_params=cp)
+                    b, fdc.clip_loss_type, i, orig_f, clip_params=cp,
+                    dtype=fdc.perception_dtype)
             return jax.value_and_grad(f)(img)
         return vg
 
@@ -443,7 +459,8 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
             delta_s, opt_state, loss, aux, grad_norm = step(
                 delta_s, opt_state, styles, id_f, clip_f)
 
-            if callback is not None and cur_iteration % 10 == 0:
+            if callback is not None and (cur_iteration % 10 == 0
+                                         or cur_iteration == total_iterations):
                 aux_out = {k: float(v) for k, v in aux.items()}
                 # Landmarks metric: zero-gradient in the reference (no_grad +
                 # PIL round-trip, find_direction.py:90-141) — reproduced as a
