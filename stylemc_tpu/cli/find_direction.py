@@ -54,12 +54,15 @@ import numpy as np
 @click.option("--perception_bf16", is_flag=True, default=False,
               help="Run CLIP/ArcFace in bfloat16 (the TPU analogue of the "
                    "reference's fp16 CLIP on CUDA)")
+@click.option("--steps_per_dispatch", type=int, default=1, show_default=True,
+              help="Batch K optimizer steps into one device dispatch "
+                   "(lax.scan) — amortizes dispatch latency; same math")
 def main(network_pkl, noise_mode, s_input, outdir, text_prompt,
          negative_text_prompt, clip_type, clip_loss_type, resolution,
          batch_size, learning_rate, n_epochs, resume, identity_loss_coef,
          landmarks_loss_coef, l2_reg_coef, clip_loss_coef, arcface_weights,
          allow_random_init, data_parallel, split_step, bf16,
-         perception_bf16):
+         perception_bf16, steps_per_dispatch):
     from ..io import load_generator
     from ..train.find_direction import FindDirectionConfig, find_direction
     from ..utils.model_zoo import load_clip_models, load_arcface
@@ -87,7 +90,8 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt,
         l2_reg_coef=l2_reg_coef, clip_loss_coef=clip_loss_coef,
         clip_type=clip_type, clip_loss_type=clip_loss_type,
         noise_mode=noise_mode, split_step=split_step,
-        perception_dtype="bfloat16" if perception_bf16 else "float32")
+        perception_dtype="bfloat16" if perception_bf16 else "float32",
+        steps_per_dispatch=steps_per_dispatch)
 
     clip_models, tokenizer = load_clip_models(
         fdc.clip_type, allow_random_init=allow_random_init)

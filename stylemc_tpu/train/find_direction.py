@@ -82,6 +82,13 @@ class FindDirectionConfig:
     # of the reference's fp16 CLIP on CUDA (clip.load casts to half there).
     # 'float32' keeps full-precision parity.
     perception_dtype: str = "float32"
+    # batch K optimizer steps into one device dispatch via lax.scan. Same
+    # math, same RNG stream; 1 = dispatch per step. Measured NEUTRAL on a
+    # single v5e (JAX's async dispatch already pipelines the unrolled
+    # loop); useful when host-side stepping is the bottleneck (very small
+    # models, slow hosts, high-latency device links that defeat
+    # pipelining).
+    steps_per_dispatch: int = 1
 
 
 def until_k_for_resolution(resolution: int) -> int:
@@ -437,50 +444,120 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
             return _step(delta_s, opt_state, styles, id_f, clip_f,
                          model_params)
 
+    multi_step = None
+    if fdc.steps_per_dispatch > 1 and not fdc.split_step:
+        # lax.scan over K steps → ONE dispatch per K steps. The body is the
+        # same value_and_grad + optimizer.update graph as _step, so numerics
+        # match the unrolled loop; lrs are host-computed per step (float64
+        # cosine, as in the unrolled path) and fed in as scan inputs.
+        @jax.jit
+        def multi_step(delta_s, opt_state, styles_k, id_k, clip_k, lrs, mp):
+            def body(carry, xs):
+                d, os = carry
+                styles, id_f, clip_f, lr = xs
+                os = os._replace(
+                    hyperparams=dict(os.hyperparams, learning_rate=lr))
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(d, styles, id_f, clip_f, mp)
+                updates, os = optimizer.update(grads, os, d)
+                d = optax.apply_updates(d, updates)
+                gn = jnp.linalg.norm(grads.reshape(-1))
+                return (d, os), (loss, aux, gn)
+            (delta_s, opt_state), (losses, auxs, gns) = jax.lax.scan(
+                body, (delta_s, opt_state), (styles_k, id_k, clip_k, lrs))
+            return delta_s, opt_state, losses, auxs, gns
+
     rng = np.random.RandomState(fdc.seed)
     cur_iteration = 0
     t0 = time.time()
     history = []
-    for epoch in range(fdc.n_epochs):
-        for _ in range(num_batches):
-            cur_iteration += 1
-            lr = cosine_lr(fdc.learning_rate, cur_iteration, total_iterations)
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
 
-            idx = rng.randint(0, n_items, size=fdc.batch_size)
-            styles = styles_array[idx]
-            id_f = id_feats_orig_all[idx]
-            clip_f = tuple(c[idx] for c in clip_feats_orig_all)
-            if data_sharding is not None:
-                styles = jax.device_put(styles, data_sharding)
-                id_f = jax.device_put(id_f, data_sharding)
-                clip_f = tuple(jax.device_put(c, data_sharding) for c in clip_f)
+    def fire_callback(it, loss_s, aux_s, lr, gn_s, styles_last):
+        aux_out = {k: float(v) for k, v in aux_s.items()}
+        # Landmarks metric: zero-gradient in the reference (no_grad +
+        # PIL round-trip, find_direction.py:90-141) — reproduced as a
+        # host-side logging-only term when a landmarker is supplied.
+        if landmarks_metric_fn is not None and fdc.landmarks_loss_coef != 0:
+            aux_out["landmarks_loss"] = fdc.landmarks_loss_coef * \
+                float(landmarks_metric_fn(
+                    assemble_direction(delta_s), styles_last))
+        else:
+            aux_out.setdefault("landmarks_loss", 0.0)
+        callback(it, float(loss_s), aux_out, lr, float(gn_s),
+                 assemble_direction(delta_s))
 
-            delta_s, opt_state, loss, aux, grad_norm = step(
-                delta_s, opt_state, styles, id_f, clip_f)
+    if multi_step is not None:
+        K = fdc.steps_per_dispatch
+        chunk_sharding = None
+        if mesh is not None:
+            chunk_sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(None, "data"))
+        while cur_iteration < total_iterations:
+            k = min(K, total_iterations - cur_iteration)
+            iters = np.arange(cur_iteration + 1, cur_iteration + k + 1)
+            lrs = np.asarray([cosine_lr(fdc.learning_rate, int(i),
+                                        total_iterations) for i in iters],
+                             np.float32)
+            # one rng draw per step — identical stream to the unrolled loop
+            idx = np.stack([rng.randint(0, n_items, size=fdc.batch_size)
+                            for _ in range(k)])
+            styles_k = styles_array[idx]
+            id_k = id_feats_orig_all[idx]
+            clip_k = tuple(c[idx] for c in clip_feats_orig_all)
+            if chunk_sharding is not None:
+                styles_k = jax.device_put(styles_k, chunk_sharding)
+                id_k = jax.device_put(id_k, chunk_sharding)
+                clip_k = tuple(jax.device_put(c, chunk_sharding)
+                               for c in clip_k)
 
+            delta_s, opt_state, losses, auxs, gns = multi_step(
+                delta_s, opt_state, styles_k, id_k, clip_k,
+                jnp.asarray(lrs), model_params)
+
+            cur_iteration += k
+            history.append(losses)
             if callback is not None and (cur_iteration % 10 == 0
                                          or cur_iteration == total_iterations):
-                aux_out = {k: float(v) for k, v in aux.items()}
-                # Landmarks metric: zero-gradient in the reference (no_grad +
-                # PIL round-trip, find_direction.py:90-141) — reproduced as a
-                # host-side logging-only term when a landmarker is supplied.
-                if (landmarks_metric_fn is not None
-                        and fdc.landmarks_loss_coef != 0):
-                    aux_out["landmarks_loss"] = fdc.landmarks_loss_coef * \
-                        float(landmarks_metric_fn(
-                            assemble_direction(delta_s), styles))
-                else:
-                    aux_out.setdefault("landmarks_loss", 0.0)
-                callback(cur_iteration, float(loss), aux_out,
-                         lr, float(grad_norm), assemble_direction(delta_s))
-            # keep the loss on-device; float() would force a sync per step
-            history.append(loss)
+                fire_callback(cur_iteration, losses[-1],
+                              {kk: v[-1] for kk, v in auxs.items()},
+                              float(lrs[-1]), gns[-1], styles_k[-1])
+    else:
+        for epoch in range(fdc.n_epochs):
+            for _ in range(num_batches):
+                cur_iteration += 1
+                lr = cosine_lr(fdc.learning_rate, cur_iteration,
+                               total_iterations)
+                opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                    lr, jnp.float32)
+
+                idx = rng.randint(0, n_items, size=fdc.batch_size)
+                styles = styles_array[idx]
+                id_f = id_feats_orig_all[idx]
+                clip_f = tuple(c[idx] for c in clip_feats_orig_all)
+                if data_sharding is not None:
+                    styles = jax.device_put(styles, data_sharding)
+                    id_f = jax.device_put(id_f, data_sharding)
+                    clip_f = tuple(jax.device_put(c, data_sharding)
+                                   for c in clip_f)
+
+                delta_s, opt_state, loss, aux, grad_norm = step(
+                    delta_s, opt_state, styles, id_f, clip_f)
+
+                if callback is not None and (
+                        cur_iteration % 10 == 0
+                        or cur_iteration == total_iterations):
+                    fire_callback(cur_iteration, loss, aux, lr, grad_norm,
+                                  styles)
+                # keep the loss on-device; float() forces a sync per step
+                history.append(loss)
 
     direction = assemble_direction(delta_s)
     jax.block_until_ready(direction)
     elapsed = time.time() - t0
-    return direction, {"history": [float(x) for x in history],
+    flat_history = np.concatenate(
+        [np.atleast_1d(np.asarray(h)) for h in history]) if history else \
+        np.zeros((0,), np.float32)
+    return direction, {"history": [float(x) for x in flat_history],
                        "time": elapsed, "iterations": cur_iteration}
 
 
