@@ -186,6 +186,7 @@ def tiny_coach():
                  arcface_layout=TINY_ARCFACE_LAYOUT)
 
 
+@pytest.mark.slow
 def test_coach_progressive_schedule(tiny_coach):
     coach = tiny_coach
     assert coach.opts.progressive_steps[0] == 0
@@ -193,6 +194,7 @@ def test_coach_progressive_schedule(tiny_coach):
     assert coach.get_dims_to_discriminate() == [0]
 
 
+@pytest.mark.slow
 def test_coach_train_steps(tiny_coach):
     coach = tiny_coach
     x, y = coach.train_iter()
@@ -208,6 +210,7 @@ def test_coach_train_steps(tiny_coach):
     assert np.isfinite(d2["loss"])
 
 
+@pytest.mark.slow
 def test_coach_checkpoint_roundtrip(tiny_coach, tmp_path):
     coach = tiny_coach
     path = str(tmp_path / "ckpt.pkl")
@@ -218,6 +221,7 @@ def test_coach_checkpoint_roundtrip(tiny_coach, tmp_path):
     assert coach.global_step == step0
 
 
+@pytest.mark.slow
 def test_coach_orbax_checkpoint_roundtrip(tiny_coach, tmp_path):
     pytest.importorskip("orbax.checkpoint")
     coach = tiny_coach

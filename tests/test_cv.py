@@ -30,6 +30,7 @@ REF_WEIGHTS = "/root/reference/MTCNN/weights"
 
 # ------------------------------------------------------------------ mtcnn
 
+@pytest.mark.slow
 def test_net_shapes():
     key = jax.random.PRNGKey(0)
     p = init_net_params(key, "pnet")
@@ -100,6 +101,7 @@ def test_preprocess():
 
 # -------------------------------------------------------------- mobilenet
 
+@pytest.mark.slow
 def test_mobilenet_landmarks_shape():
     p = init_mobilenet_gdconv_params(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 224, 224)) * 0.5
@@ -154,6 +156,7 @@ def test_triangle_indices_and_warp():
 
 # ---------------------------------------------------------------- deeplab
 
+@pytest.mark.slow
 def test_deeplab_tiny():
     p = init_deeplab_params(jax.random.PRNGKey(0), num_classes=19,
                             layers=(1, 1, 1, 1), width=16)
