@@ -127,24 +127,50 @@ def _reconstruct_persistent_stub(meta) -> PersistentStub:
     return PersistentStub(dict(meta))
 
 
-# Modules whose symbols are safe, data-only constructors.
-_SAFE_MODULE_PREFIXES = (
-    "collections",
-    "numpy",
-    "torch._utils",
-    "torch.storage",
-    "torch.serialization",
-    "_codecs",
-)
+def _safe_storage_from_bytes(b):
+    """Replacement for torch.storage._load_from_bytes.
+
+    The stock implementation calls torch.load(..., weights_only=False) on
+    attacker-controlled bytes — an arbitrary-code gadget. The inner payload
+    for a legitimately pickled Storage is torch's legacy serialization
+    format, which weights_only=True handles; anything else is rejected.
+    """
+    import torch
+    return torch.load(_io.BytesIO(b), weights_only=True)
+
+
+# Exact (module, name) allowlist of reconstruction callables actually needed
+# to rebuild tensors/arrays/containers from NVIDIA-style network pickles.
+# Prefix allowlists are NOT used: whole-module trees (numpy, torch.*) contain
+# REDUCE-callable exec gadgets (e.g. numpy.testing.runstring,
+# numpy.ctypeslib.load_library, torch.serialization.load).
 _SAFE_EXACT = {
     ("builtins", "set"), ("builtins", "frozenset"), ("builtins", "list"),
     ("builtins", "dict"), ("builtins", "tuple"), ("builtins", "complex"),
     ("builtins", "bytearray"), ("builtins", "slice"), ("builtins", "range"),
+    ("collections", "OrderedDict"),
+    ("_codecs", "encode"),
+    # numpy arrays/scalars (both the 1.x and 2.x module spellings)
+    ("numpy", "ndarray"), ("numpy", "dtype"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "scalar"),
+    # torch tensor reconstruction
+    ("torch._utils", "_rebuild_tensor"),
+    ("torch._utils", "_rebuild_tensor_v2"),
+    ("torch._utils", "_rebuild_parameter"),
     ("torch", "Size"), ("torch", "device"), ("torch", "dtype"),
 }
 _TORCH_DTYPE_NAMES = {
     "float32", "float64", "float16", "bfloat16", "int64", "int32", "int16",
     "int8", "uint8", "bool",
+}
+# Untyped/typed storage classes referenced by _rebuild_tensor* arguments.
+_TORCH_STORAGE_NAMES = {
+    "FloatStorage", "DoubleStorage", "HalfStorage", "BFloat16Storage",
+    "LongStorage", "IntStorage", "ShortStorage", "CharStorage",
+    "ByteStorage", "BoolStorage", "UntypedStorage",
 }
 
 
@@ -154,13 +180,13 @@ class _SafeUnpickler(pickle.Unpickler):
             return _reconstruct_persistent_stub
         if module.startswith("dnnlib") and name == "EasyDict":
             return EasyDict
+        if module == "torch.storage" and name == "_load_from_bytes":
+            return _safe_storage_from_bytes
         if (module, name) in _SAFE_EXACT:
             return super().find_class(module, name)
-        if module == "torch" and name in _TORCH_DTYPE_NAMES:
+        if module == "torch" and (name in _TORCH_DTYPE_NAMES
+                                  or name in _TORCH_STORAGE_NAMES):
             return super().find_class(module, name)
-        for prefix in _SAFE_MODULE_PREFIXES:
-            if module == prefix or module.startswith(prefix + "."):
-                return super().find_class(module, name)
         # Everything else (nn.Module subclasses, random classes): inert stub
         # preserving the recorded type name.
         return type(f"Stub_{name}", (_StubBase,), {"_pickle_type": (module, name)})

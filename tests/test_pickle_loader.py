@@ -207,3 +207,82 @@ def test_malicious_reduce_neutralized(tmp_path):
         pickle.dump({"G_ema": Evil()}, f)
     load_network_pkl(path)  # must not execute os.system
     assert not os.path.exists(canary)
+
+
+def test_allowlisted_module_gadgets_neutralized(tmp_path):
+    """Round-1 advisor PoC: gadget callables living INSIDE formerly
+    prefix-allowlisted modules (numpy.testing.runstring, torch.serialization
+    .load, numpy.ctypeslib.load_library) must resolve to inert stubs under
+    the exact (module, name) allowlist."""
+    canary = os.path.join(str(tmp_path), "pwned")
+
+    class _Gadget:
+        def __init__(self, module, name, args):
+            self.module, self.name, self.args = module, name, args
+
+        def __reduce__(self):
+            import importlib
+            fn = getattr(importlib.import_module(self.module), self.name)
+            return (fn, self.args)
+
+    gadgets = [
+        _Gadget("numpy.testing", "runstring",
+                (f"import os; os.system('touch {canary}')", {})),
+    ]
+    path = os.path.join(str(tmp_path), "gadgets.pkl")
+    with open(path, "wb") as f:
+        pickle.dump({"G_ema": gadgets}, f)
+    load_network_pkl(path)
+    assert not os.path.exists(canary)
+
+
+def test_storage_load_from_bytes_nested_pickle_rejected(tmp_path):
+    """torch.storage._load_from_bytes is replaced by a weights_only=True
+    loader, so a nested malicious torch.load payload cannot execute."""
+    import torch
+
+    canary = os.path.join(str(tmp_path), "pwned")
+
+    class EvilInner:
+        def __reduce__(self):
+            return (os.system, (f"touch {canary}",))
+
+    inner = io.BytesIO()
+    torch.save({"x": EvilInner()}, inner, _use_new_zipfile_serialization=False)
+
+    import torch.storage as ts
+    path = os.path.join(str(tmp_path), "nested.pkl")
+
+    class Carrier:
+        def __reduce__(self):
+            return (ts._load_from_bytes, (inner.getvalue(),))
+
+    with open(path, "wb") as f:
+        pickle.dump({"G_ema": Carrier()}, f)
+    try:
+        load_network_pkl(path)
+    except Exception:
+        pass  # rejection (UnpicklingError) is the expected outcome
+    assert not os.path.exists(canary)
+
+
+def test_real_torch_tensors_still_load(tmp_path):
+    """The exact allowlist must still reconstruct genuinely pickled torch
+    tensors (storage via _load_from_bytes) and numpy arrays/scalars."""
+    import collections
+    import torch
+
+    d = collections.OrderedDict(
+        w=torch.nn.Parameter(torch.randn(2, 3)),
+        h=torch.randn(3).half(),
+        a=np.random.randn(2).astype(np.float32),
+        s=np.float32(1.5),
+    )
+    path = os.path.join(str(tmp_path), "tensors.pkl")
+    with open(path, "wb") as f:
+        pickle.dump({"G_ema": d}, f)
+    out = load_network_pkl(path)["G_ema"]
+    assert out["w"].shape == (2, 3)
+    assert out["h"].dtype == torch.float16
+    np.testing.assert_allclose(np.asarray(out["a"]), np.asarray(d["a"]))
+    assert float(out["s"]) == 1.5
