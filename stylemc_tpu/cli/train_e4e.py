@@ -170,7 +170,8 @@ def main(exp_dir, dataset_type, encoder_type, source_root, test_root,
         if step % opts.save_interval == 0 or step == opts.max_steps:
             coach.save_checkpoint(os.path.join(ckpt_dir, f"iteration_{step}.pkl"))
 
-    coach.train(callback=callback)
+    coach.train(callback=callback,
+                best_checkpoint_path=os.path.join(ckpt_dir, "best_model.pkl"))
     coach.save_checkpoint(os.path.join(ckpt_dir, "last.pkl"))
     print("OMG, finished training!")
 

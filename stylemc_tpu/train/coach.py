@@ -348,7 +348,12 @@ class Coach:
         self.global_step += 1
         return loss_dict
 
-    def train(self, callback: Optional[Callable] = None):
+    def train(self, callback: Optional[Callable] = None,
+              best_checkpoint_path: Optional[str] = None):
+        """Main loop. When validation improves, best_val_loss is updated and
+        (if `best_checkpoint_path` is given) a best-model checkpoint is
+        written — the reference's checkpoint_me(is_best=True) → best_model.pt
+        (coach.py:133-135)."""
         while self.global_step < self.opts.max_steps:
             x, y = self.train_iter()
             loss_dict = self.train_step(x, y)
@@ -359,6 +364,8 @@ class Coach:
                 val = self.validate()
                 if self.best_val_loss is None or val["loss"] < self.best_val_loss:
                     self.best_val_loss = val["loss"]
+                    if best_checkpoint_path is not None:
+                        self.save_checkpoint(best_checkpoint_path)
 
     def validate(self, n_batches: int = 4) -> Dict[str, float]:
         agg: Dict[str, List[float]] = {}

@@ -87,7 +87,9 @@ class FindDirectionConfig:
     # single v5e (JAX's async dispatch already pipelines the unrolled
     # loop); useful when host-side stepping is the bottleneck (very small
     # models, slow hosts, high-latency device links that defeat
-    # pipelining).
+    # pipelining). Ignored (with a warning) when split_step=True: split_step
+    # exists to BOUND per-graph compile size and a K-step scan would undo
+    # that.
     steps_per_dispatch: int = 1
 
 
@@ -445,6 +447,12 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
                          model_params)
 
     multi_step = None
+    if fdc.steps_per_dispatch > 1 and fdc.split_step:
+        import warnings
+        warnings.warn(
+            "steps_per_dispatch > 1 is ignored when split_step=True "
+            "(split_step bounds per-graph compile size; a K-step scan would "
+            "undo that) — running per-step dispatch", stacklevel=2)
     if fdc.steps_per_dispatch > 1 and not fdc.split_step:
         # lax.scan over K steps → ONE dispatch per K steps. The body is the
         # same value_and_grad + optimizer.update graph as _step, so numerics
@@ -462,17 +470,19 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
                 updates, os = optimizer.update(grads, os, d)
                 d = optax.apply_updates(d, updates)
                 gn = jnp.linalg.norm(grads.reshape(-1))
-                return (d, os), (loss, aux, gn)
-            (delta_s, opt_state), (losses, auxs, gns) = jax.lax.scan(
+                # per-step Δs snapshot (tiny: 8×512 floats) so callbacks
+                # inside the chunk see the direction as of THEIR step
+                return (d, os), (loss, aux, gn, d)
+            (delta_s, opt_state), (losses, auxs, gns, deltas) = jax.lax.scan(
                 body, (delta_s, opt_state), (styles_k, id_k, clip_k, lrs))
-            return delta_s, opt_state, losses, auxs, gns
+            return delta_s, opt_state, losses, auxs, gns, deltas
 
     rng = np.random.RandomState(fdc.seed)
     cur_iteration = 0
     t0 = time.time()
     history = []
 
-    def fire_callback(it, loss_s, aux_s, lr, gn_s, styles_last):
+    def fire_callback(it, loss_s, aux_s, lr, gn_s, styles_last, delta):
         aux_out = {k: float(v) for k, v in aux_s.items()}
         # Landmarks metric: zero-gradient in the reference (no_grad +
         # PIL round-trip, find_direction.py:90-141) — reproduced as a
@@ -480,11 +490,11 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
         if landmarks_metric_fn is not None and fdc.landmarks_loss_coef != 0:
             aux_out["landmarks_loss"] = fdc.landmarks_loss_coef * \
                 float(landmarks_metric_fn(
-                    assemble_direction(delta_s), styles_last))
+                    assemble_direction(delta), styles_last))
         else:
             aux_out.setdefault("landmarks_loss", 0.0)
         callback(it, float(loss_s), aux_out, lr, float(gn_s),
-                 assemble_direction(delta_s))
+                 assemble_direction(delta))
 
     if multi_step is not None:
         K = fdc.steps_per_dispatch
@@ -510,17 +520,24 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
                 clip_k = tuple(jax.device_put(c, chunk_sharding)
                                for c in clip_k)
 
-            delta_s, opt_state, losses, auxs, gns = multi_step(
+            delta_s, opt_state, losses, auxs, gns, deltas = multi_step(
                 delta_s, opt_state, styles_k, id_k, clip_k,
                 jnp.asarray(lrs), model_params)
 
+            start = cur_iteration
             cur_iteration += k
             history.append(losses)
-            if callback is not None and (cur_iteration % 10 == 0
-                                         or cur_iteration == total_iterations):
-                fire_callback(cur_iteration, losses[-1],
-                              {kk: v[-1] for kk, v in auxs.items()},
-                              float(lrs[-1]), gns[-1], styles_k[-1])
+            if callback is not None:
+                # same cadence as the unrolled loop: every multiple of 10
+                # covered by this chunk (plus the final iteration), each
+                # with its own step's scan outputs
+                for j in range(k):
+                    it = start + j + 1
+                    if it % 10 == 0 or it == total_iterations:
+                        fire_callback(it, losses[j],
+                                      {kk: v[j] for kk, v in auxs.items()},
+                                      float(lrs[j]), gns[j], styles_k[j],
+                                      deltas[j])
     else:
         for epoch in range(fdc.n_epochs):
             for _ in range(num_batches):
@@ -547,7 +564,7 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
                         cur_iteration % 10 == 0
                         or cur_iteration == total_iterations):
                     fire_callback(cur_iteration, loss, aux, lr, grad_norm,
-                                  styles)
+                                  styles, delta_s)
                 # keep the loss on-device; float() forces a sync per step
                 history.append(loss)
 

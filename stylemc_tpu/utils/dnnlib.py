@@ -104,7 +104,7 @@ def open_url(url: str, cache_dir: Optional[str] = None, num_attempts: int = 10,
             print(f"Downloading {url} ...", end="", flush=True)
         for attempts_left in reversed(range(num_attempts)):
             try:
-                with session.get(url) as res:
+                with session.get(url, timeout=(10, 60)) as res:
                     res.raise_for_status()
                     if len(res.content) == 0:
                         raise IOError("No data received")
@@ -164,7 +164,7 @@ def download_file(session, file_spec: dict, chunk_size: int = 128,
     for attempts_left in reversed(range(num_attempts)):
         data_md5 = hashlib.md5()
         try:
-            with session.get(file_url, stream=True) as res:
+            with session.get(file_url, stream=True, timeout=(10, 60)) as res:
                 res.raise_for_status()
                 with open(tmp_path, "wb") as f:
                     for chunk in res.iter_content(chunk_size=chunk_size << 10):
