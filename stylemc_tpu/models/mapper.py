@@ -21,8 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def pixel_norm(x, eps: float = 1e-8):
-    return x * jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True) + eps)
+def pixel_norm(x, axis: int = 1, eps: float = 1e-8):
+    """rosinality PixelNorm (model.py:~16): rsqrt of the mean square over
+    dim=1. For the mapper's 3D input [N, layernum, 512] that is the LAYER
+    axis, not the channel axis — a reference quirk verified against the
+    torch oracle (tests/test_reference_parity.py::test_mapper_vs_torch)."""
+    return x * jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=axis, keepdims=True) + eps)
 
 
 def _layer_norm_noaffine(x, eps: float = 1e-5):

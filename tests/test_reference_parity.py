@@ -1,0 +1,467 @@
+"""Cross-framework parity: our JAX implementations vs the reference PyTorch
+code imported directly from /root/reference (read-only), run on CPU.
+
+These tests back every "behavioral contract" docstring with a live oracle:
+  (a) ops.upfirdn2d / ops.bias_act   vs torch_utils/ops/{upfirdn2d,bias_act}.py
+      reference paths (_upfirdn2d_ref :169, _bias_act_ref :94)
+  (b) models.arcface                 vs id_loss/model_irse.py:10 Backbone
+  (c) models.mtcnn nets              vs MTCNN/get_nets.py with the REAL
+      in-tree weights (MTCNN/weights/{p,r,o}net.npy)
+  (d) models.mapper                  vs latent_mappers.py:68 Mapper
+  (e) models.mobilenet               vs mobilenet_facial.py:55 MobileNet_GDConv
+  (f) models.deeplab                 vs deeplab.py:26-212 resnet101+ASPP
+
+Reference modules are treated as UNTRUSTED third-party code: we import and
+execute their nn.Module graphs for numerics only. The rosinality CUDA op
+package (encoder4editing/models/stylegan2/op) compiles kernels at import
+time, so it is replaced in sys.modules by a pure-torch stub implementing the
+documented fused_leaky_relu math before latent_mappers is imported.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference tree unavailable")
+
+if REF not in sys.path:
+    sys.path.append(REF)  # append, not insert: never shadow our own modules
+
+
+def _seed_rosinality_op_stub():
+    """Pure-torch stand-in for encoder4editing.models.stylegan2.op, which
+    otherwise JIT-compiles CUDA kernels at import (fused_act.py:9-16)."""
+    name = "encoder4editing.models.stylegan2.op"
+    if name in sys.modules:
+        return
+    import torch.nn.functional as F
+
+    mod = types.ModuleType(name)
+
+    def fused_leaky_relu(input, bias=None, negative_slope=0.2, scale=2 ** 0.5):
+        if bias is not None:
+            rest_dim = [1] * (input.ndim - bias.ndim - 1)
+            input = input + bias.view(1, bias.shape[0], *rest_dim)
+        return F.leaky_relu(input, negative_slope) * scale
+
+    class FusedLeakyReLU(torch.nn.Module):
+        def __init__(self, channel, negative_slope=0.2, scale=2 ** 0.5):
+            super().__init__()
+            self.bias = torch.nn.Parameter(torch.zeros(channel))
+            self.negative_slope = negative_slope
+            self.scale = scale
+
+        def forward(self, input):
+            return fused_leaky_relu(input, self.bias, self.negative_slope,
+                                    self.scale)
+
+    def upfirdn2d(*a, **k):
+        raise RuntimeError("rosinality upfirdn2d stub: not needed for the "
+                           "Mapper parity test")
+
+    mod.fused_leaky_relu = fused_leaky_relu
+    mod.FusedLeakyReLU = FusedLeakyReLU
+    mod.upfirdn2d = upfirdn2d
+    sys.modules[name] = mod
+
+
+def _seed_torchvision_stub():
+    """torchvision is not installed in this image. mobilenet_facial.py only
+    needs torchvision.models.mobilenet_v2 and latent_mappers.py only imports
+    (and never uses) torchvision.transforms, so provide a faithful torch
+    MobileNetV2 whose state_dict layout matches torchvision's exactly —
+    that layout IS the checkpoint contract MobileNet_GDConv relies on."""
+    if "torchvision" in sys.modules:
+        return
+    try:
+        import torchvision  # noqa: F401
+        return
+    except ImportError:
+        pass
+    import torch.nn as nn
+
+    def conv_bn_relu(inp, oup, k, stride, groups=1):
+        return nn.Sequential(
+            nn.Conv2d(inp, oup, k, stride, (k - 1) // 2, groups=groups,
+                      bias=False),
+            nn.BatchNorm2d(oup),
+            nn.ReLU6(inplace=True),
+        )
+
+    class InvertedResidual(nn.Module):
+        def __init__(self, inp, oup, stride, expand_ratio):
+            super().__init__()
+            hidden = int(round(inp * expand_ratio))
+            self.use_res = stride == 1 and inp == oup
+            layers = []
+            if expand_ratio != 1:
+                layers.append(conv_bn_relu(inp, hidden, 1, 1))
+            layers.extend([
+                conv_bn_relu(hidden, hidden, 3, stride, groups=hidden),
+                nn.Conv2d(hidden, oup, 1, 1, 0, bias=False),
+                nn.BatchNorm2d(oup),
+            ])
+            self.conv = nn.Sequential(*layers)
+
+        def forward(self, x):
+            return x + self.conv(x) if self.use_res else self.conv(x)
+
+    class MobileNetV2(nn.Module):
+        def __init__(self, num_classes=1000):
+            super().__init__()
+            setting = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2),
+                       (6, 64, 4, 2), (6, 96, 3, 1), (6, 160, 3, 2),
+                       (6, 320, 1, 1)]
+            features = [conv_bn_relu(3, 32, 3, 2)]
+            inp = 32
+            for t, c, n, s in setting:
+                for i in range(n):
+                    features.append(InvertedResidual(
+                        inp, c, s if i == 0 else 1, t))
+                    inp = c
+            features.append(conv_bn_relu(inp, 1280, 1, 1))
+            self.features = nn.Sequential(*features)
+            self.classifier = nn.Sequential(nn.Dropout(0.2),
+                                            nn.Linear(1280, num_classes))
+
+        def forward(self, x):
+            x = self.features(x)
+            x = nn.functional.adaptive_avg_pool2d(x, (1, 1)).flatten(1)
+            return self.classifier(x)
+
+    tv = types.ModuleType("torchvision")
+    tv_models = types.ModuleType("torchvision.models")
+    tv_transforms = types.ModuleType("torchvision.transforms")
+
+    def mobilenet_v2(pretrained=False, **kwargs):
+        assert not pretrained, "stub has no pretrained weights"
+        return MobileNetV2(**kwargs)
+
+    tv_models.mobilenet_v2 = mobilenet_v2
+    tv.models = tv_models
+    tv.transforms = tv_transforms
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tv_models
+    sys.modules["torchvision.transforms"] = tv_transforms
+
+
+def _randomize_state_dict(module: torch.nn.Module, seed: int,
+                          scale: float = 0.2):
+    """Fill every tensor in the state_dict with a seeded random value so
+    BN running stats / affine params are all nontrivial."""
+    g = torch.Generator().manual_seed(seed)
+    sd = module.state_dict()
+    new = {}
+    for k, v in sd.items():
+        if not torch.is_floating_point(v):
+            new[k] = v  # num_batches_tracked etc.
+        elif k.endswith("running_var"):
+            new[k] = torch.rand(v.shape, generator=g) + 0.5
+        else:
+            new[k] = torch.randn(v.shape, generator=g) * scale
+    module.load_state_dict(new)
+    return {k: v.numpy() for k, v in new.items()}
+
+
+# --------------------------------------------------------------- (a) kernels
+
+
+@pytest.mark.parametrize("up,down", [(1, 1), (2, 1), (1, 2), (2, 2)])
+@pytest.mark.parametrize("padding", [0, 1, (1, 0, 2, 1), (-1, 1, 0, -1)])
+@pytest.mark.parametrize("flip", [False, True])
+def test_upfirdn2d_vs_torch_ref(up, down, padding, flip):
+    from torch_utils.ops.upfirdn2d import _upfirdn2d_ref
+
+    from stylemc_tpu.ops.upfirdn2d import upfirdn2d, _parse_padding
+
+    rng = np.random.RandomState(up * 8 + down * 4 + flip)
+    x = rng.randn(2, 3, 8, 8).astype(np.float32)
+    f = rng.randn(3, 3).astype(np.float32)
+    gain = 1.5
+
+    px0, px1, py0, py1 = _parse_padding(padding)
+    want = _upfirdn2d_ref(torch.from_numpy(x), torch.from_numpy(f),
+                          up=up, down=down, padding=[px0, px1, py0, py1],
+                          flip_filter=flip, gain=gain).numpy()
+    got = np.asarray(upfirdn2d(jnp.asarray(x), jnp.asarray(f), up=up,
+                               down=down, padding=padding, flip_filter=flip,
+                               gain=gain))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_upfirdn2d_separable_and_1d_vs_torch_ref():
+    from torch_utils.ops.upfirdn2d import _upfirdn2d_ref, setup_filter
+
+    from stylemc_tpu.ops.upfirdn2d import upfirdn2d, setup_filter as our_setup
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 2, 9, 9).astype(np.float32)
+    f_t = setup_filter([1, 3, 3, 1])  # reference normalized 1D filter
+    f_j = our_setup([1, 3, 3, 1])
+    np.testing.assert_allclose(np.asarray(f_j), f_t.numpy(), rtol=1e-6,
+                               atol=1e-7)
+    # setup_filter outer-products short 1D filters (numel < 8 → dense 2D)
+    assert f_t.ndim == 2
+    want = _upfirdn2d_ref(torch.from_numpy(x), f_t, up=2,
+                          padding=[2, 1, 2, 1], gain=4).numpy()
+    got = np.asarray(upfirdn2d(jnp.asarray(x), f_j, up=2,
+                               padding=(2, 1, 2, 1), gain=4))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_upfirdn2d_gradient_vs_torch():
+    from torch_utils.ops.upfirdn2d import _upfirdn2d_ref
+
+    from stylemc_tpu.ops.upfirdn2d import upfirdn2d
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 2, 6, 6).astype(np.float32)
+    f = rng.randn(4, 4).astype(np.float32)
+    ct = rng.randn(1, 2, 11, 11).astype(np.float32)  # cotangent
+
+    xt = torch.from_numpy(x).requires_grad_(True)
+    y = _upfirdn2d_ref(xt, torch.from_numpy(f), up=2, down=1,
+                       padding=[1, 1, 1, 1])
+    assert tuple(y.shape[2:]) == (11, 11)
+    y.backward(torch.from_numpy(ct))
+    want = xt.grad.numpy()
+
+    def fwd(xx):
+        return jnp.vdot(upfirdn2d(xx, jnp.asarray(f), up=2,
+                                  padding=(1, 1, 1, 1)), jnp.asarray(ct))
+
+    got = np.asarray(jax.grad(fwd)(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("act", ["linear", "relu", "lrelu", "tanh", "sigmoid",
+                                 "elu", "selu", "softplus", "swish"])
+@pytest.mark.parametrize("clamp", [None, 0.5])
+def test_bias_act_vs_torch_ref(act, clamp):
+    from torch_utils.ops.bias_act import _bias_act_ref
+
+    from stylemc_tpu.ops.bias_act import bias_act
+
+    rng = np.random.RandomState(hash(act) % 1000)
+    x = rng.randn(3, 5, 4).astype(np.float32)
+    b = rng.randn(5).astype(np.float32)
+
+    want = _bias_act_ref(x=torch.from_numpy(x), b=torch.from_numpy(b), dim=1,
+                         act=act, alpha=None, gain=None, clamp=clamp).numpy()
+    got = np.asarray(bias_act(jnp.asarray(x), jnp.asarray(b), dim=1, act=act,
+                              clamp=clamp))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_bias_act_custom_alpha_gain_vs_torch_ref():
+    from torch_utils.ops.bias_act import _bias_act_ref
+
+    from stylemc_tpu.ops.bias_act import bias_act
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 4).astype(np.float32)
+    b = rng.randn(4).astype(np.float32)
+    want = _bias_act_ref(x=torch.from_numpy(x), b=torch.from_numpy(b), dim=1,
+                         act="lrelu", alpha=0.1, gain=3.0, clamp=2.0).numpy()
+    got = np.asarray(bias_act(jnp.asarray(x), jnp.asarray(b), dim=1,
+                              act="lrelu", alpha=0.1, gain=3.0, clamp=2.0))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------------------- (b) arcface
+
+
+@pytest.mark.slow
+def test_arcface_vs_torch_backbone():
+    from id_loss.model_irse import Backbone
+
+    from stylemc_tpu.models.arcface import (backbone_apply,
+                                            params_from_torch_state)
+
+    # exactly the IDLoss construction (id_loss/id_loss.py:10)
+    net = Backbone(input_size=112, num_layers=50, drop_ratio=0.6, mode="ir_se")
+    state = _randomize_state_dict(net, seed=0, scale=0.05)
+    net.eval()
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 3, 112, 112).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()
+
+    params = params_from_torch_state(state)
+    got = np.asarray(backbone_apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+# ----------------------------------------------------------------- (c) mtcnn
+
+
+REF_MTCNN_WEIGHTS = os.path.join(REF, "MTCNN", "weights")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_MTCNN_WEIGHTS),
+                    reason="MTCNN weights unavailable")
+def test_mtcnn_nets_vs_torch_real_weights():
+    """P/R/O-Net outputs with the REAL bundled weights must match the
+    reference torch modules (get_nets.py loads 'MTCNN/weights/*.npy'
+    relative to cwd, so construct them with cwd=/root/reference)."""
+    from stylemc_tpu.models.mtcnn.nets import (load_net_weights, pnet_apply,
+                                               rnet_apply, onet_apply)
+
+    cwd = os.getcwd()
+    os.chdir(REF)
+    try:
+        from MTCNN.get_nets import PNet, RNet, ONet
+        tp, tr, to = PNet().eval(), RNet().eval(), ONet().eval()
+    finally:
+        os.chdir(cwd)
+
+    p_pnet = load_net_weights(os.path.join(REF_MTCNN_WEIGHTS, "pnet.npy"))
+    p_rnet = load_net_weights(os.path.join(REF_MTCNN_WEIGHTS, "rnet.npy"))
+    p_onet = load_net_weights(os.path.join(REF_MTCNN_WEIGHTS, "onet.npy"))
+    rng = np.random.RandomState(0)
+
+    xp = rng.randn(1, 3, 30, 40).astype(np.float32)
+    with torch.no_grad():
+        off_t, prob_t = tp(torch.from_numpy(xp))
+    off_j, prob_j = pnet_apply(p_pnet, jnp.asarray(xp))
+    np.testing.assert_allclose(np.asarray(off_j), off_t.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(prob_j), prob_t.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+    xr = rng.randn(3, 3, 24, 24).astype(np.float32)
+    with torch.no_grad():
+        off_t, prob_t = tr(torch.from_numpy(xr))
+    off_j, prob_j = rnet_apply(p_rnet, jnp.asarray(xr))
+    np.testing.assert_allclose(np.asarray(off_j), off_t.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(prob_j), prob_t.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+    xo = rng.randn(3, 3, 48, 48).astype(np.float32)
+    with torch.no_grad():
+        lm_t, off_t, prob_t = to(torch.from_numpy(xo))
+    lm_j, off_j, prob_j = onet_apply(p_onet, jnp.asarray(xo))
+    np.testing.assert_allclose(np.asarray(lm_j), lm_t.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(off_j), off_t.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(prob_j), prob_t.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_MTCNN_WEIGHTS),
+                    reason="MTCNN weights unavailable")
+def test_mtcnn_box_utils_vs_torch():
+    """The box-geometry contract: nms / convert_to_square / calibrate_box
+    on the same random boxes."""
+    from MTCNN.box_utils import (nms as ref_nms,
+                                 convert_to_square as ref_square,
+                                 calibrate_box as ref_calibrate)
+
+    from stylemc_tpu.models.mtcnn.detect import (nms, convert_to_square,
+                                                 calibrate_box)
+
+    rng = np.random.RandomState(0)
+    xy = rng.rand(20, 2) * 80
+    wh = rng.rand(20, 2) * 40 + 4
+    scores = rng.rand(20, 1)
+    boxes = np.concatenate([xy, xy + wh, scores], axis=1)
+
+    assert list(nms(boxes, 0.5)) == list(ref_nms(boxes, 0.5))
+    assert list(nms(boxes, 0.5, mode="min")) == \
+        list(ref_nms(boxes, 0.5, mode="min"))
+    # coords only: the reference zeroes the score column (box_utils.py:71
+    # builds on np.zeros_like), ours preserves it; the cascade overwrites
+    # it from net probs before any use either way.
+    np.testing.assert_allclose(convert_to_square(boxes)[:, :4],
+                               ref_square(boxes)[:, :4])
+    offsets = rng.randn(20, 4) * 0.1
+    np.testing.assert_allclose(calibrate_box(boxes, offsets),
+                               ref_calibrate(boxes, offsets))
+
+
+# ---------------------------------------------------------------- (d) mapper
+
+
+def test_mapper_vs_torch():
+    _seed_rosinality_op_stub()
+    _seed_torchvision_stub()
+    from latent_mappers import Mapper
+
+    from stylemc_tpu.models.mapper import (mapper_apply,
+                                           params_from_torch_state)
+
+    net = Mapper()
+    state = _randomize_state_dict(net, seed=3)
+    net.eval()
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 8, 512).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()
+    got = np.asarray(mapper_apply(params_from_torch_state(state),
+                                  jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------------------------------- (e) mobilenet
+
+
+@pytest.mark.slow
+def test_mobilenet_gdconv_vs_torch():
+    _seed_torchvision_stub()
+    from mobilenet_facial import MobileNet_GDConv
+
+    from stylemc_tpu.models.mobilenet import (mobilenet_gdconv_apply,
+                                              params_from_torch_state)
+
+    net = MobileNet_GDConv(136)
+    state = _randomize_state_dict(net, seed=5, scale=0.05)
+    net.eval()
+
+    rng = np.random.RandomState(6)
+    x = rng.randn(1, 3, 224, 224).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()
+    # checkpoint files carry a DataParallel 'module.' prefix; exercise it
+    state = {"module." + k: v for k, v in state.items()}
+    got = np.asarray(mobilenet_gdconv_apply(params_from_torch_state(state),
+                                            jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+# --------------------------------------------------------------- (f) deeplab
+
+
+@pytest.mark.slow
+def test_deeplab_vs_torch():
+    import deeplab as ref_deeplab
+
+    from stylemc_tpu.models.deeplab import (deeplab_apply,
+                                            params_from_torch_state)
+
+    # exactly the run_deeplab.get_model construction (run_deeplab.py:69-75)
+    net = ref_deeplab.resnet101(pretrained=False, num_classes=19,
+                                num_groups=32, weight_std=True, beta=False)
+    state = _randomize_state_dict(net, seed=7, scale=0.05)
+    net.eval()
+
+    rng = np.random.RandomState(8)
+    x = rng.randn(1, 3, 65, 65).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()
+    got = np.asarray(deeplab_apply(params_from_torch_state(state),
+                                   jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
