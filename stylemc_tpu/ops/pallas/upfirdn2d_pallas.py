@@ -112,6 +112,13 @@ def _canonical_taps(f, gain: float, flip_filter: bool):
     return tuple(float(t) for t in taps)
 
 
+def _interpret():
+    # interpreter on non-TPU backends so CPU tests exercise the REAL kernel
+    # body (incl. through custom-VJP backward traces, where a context-manager
+    # interpret flag would already be out of scope)
+    return jax.default_backend() != "tpu"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _upsample2x_core(x, taps):
     n, c, h, w = x.shape
@@ -124,41 +131,39 @@ def _upsample2x_core(x, taps):
         out_specs=pl.BlockSpec((1, 2 * h, 2 * w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n * c, 2 * h, 2 * w), x.dtype),
+        interpret=_interpret(),
     )(planes)
     return out.reshape(n, c, 2 * h, 2 * w)
 
 
 def _upsample2x_fwd(x, taps):
-    return _upsample2x_core(x, taps), (x.shape,)
+    return _upsample2x_core(x, taps), ()
 
 
 def _upsample2x_bwd(taps, res, g):
-    """Transpose of zero-stuff+filter = filter (flipped taps) + stride-2
-    subsample — the reference's transposed re-invocation trick."""
-    (x_shape,) = res
-    f = jnp.asarray(np.outer(taps, taps), jnp.float32)
-    # forward out[j] = Σ_k g[k] x[(j+k-2)/2]; transpose: dx[i] = Σ over j,k
-    # with (j+k-2)=2i → dx[i] = Σ_k g[k] dy[2i+2-k]: correlation of dy with
-    # reversed taps at stride 2, offset 2-k... expressed via the XLA
-    # upfirdn2d with down=2 and mirrored padding:
-    from ..upfirdn2d import upfirdn2d
-    dx = upfirdn2d(g, f, down=2, padding=(1, 2, 1, 2), flip_filter=True,
-                   gain=1.0)
-    return (dx.astype(g.dtype),)
+    """Transpose of zero-stuff+filter = filter (reversed taps) + stride-2
+    subsample — the reference's transposed re-invocation trick
+    (upfirdn2d.py:246-264). Derivation: out[j] = Σ_k t[k]·x[(j+k-2)/2], so
+    dx[i] = Σ_k t[k]·dy[2i+2-k] = Σ_k t[3-k]·dy[2i+k-1] — exactly the
+    polyphase downsample kernel with reversed taps."""
+    del res
+    return (_downsample2x_core(g, taps[::-1]).astype(g.dtype),)
 
 
 _upsample2x_core.defvjp(_upsample2x_fwd, _upsample2x_bwd)
 
 
 def upsample2d_pallas(x, f, up: int = 2, padding=0, flip_filter: bool = False,
-                      gain: float = 1.0):
+                      gain: float = 1.0, force: bool = False):
     """Drop-in for ops.upsample2d on the hot configuration; XLA fallback
-    otherwise."""
+    otherwise. `force=True` takes the Pallas path regardless of backend —
+    for interpret-mode tests on CPU (without it the backend gate silently
+    reduces those tests to XLA-vs-XLA)."""
     n, c, h, w = x.shape
     usable = (
         up == 2 and padding == 0 and h * w <= _MAX_PLANE
         and h % 8 == 0 and w % 128 == 0
-        and jax.default_backend() == "tpu"
+        and (force or jax.default_backend() == "tpu")
     )
     taps = _canonical_taps(np.asarray(f), gain * up * up, flip_filter) \
         if usable else None
@@ -193,18 +198,9 @@ def _make_down_kernel(g):
     return kernel
 
 
-def downsample2d_pallas(x, f, down: int = 2, padding=0,
-                        flip_filter: bool = False, gain: float = 1.0):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _downsample2x_core(x, taps):
     n, c, h, w = x.shape
-    usable = (
-        down == 2 and padding == 0 and h * w <= 4 * _MAX_PLANE
-        and h % 16 == 0 and w % 256 == 0
-        and jax.default_backend() == "tpu"
-    )
-    taps = _canonical_taps(np.asarray(f), gain, flip_filter) if usable else None
-    if taps is None:
-        return downsample2d_xla(x, f, down=down, padding=padding,
-                                flip_filter=flip_filter, gain=gain)
     planes = x.reshape(n * c, h, w)
     out = pl.pallas_call(
         _make_down_kernel(taps),
@@ -214,5 +210,39 @@ def downsample2d_pallas(x, f, down: int = 2, padding=0,
         out_specs=pl.BlockSpec((1, h // 2, w // 2), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n * c, h // 2, w // 2), x.dtype),
+        interpret=_interpret(),
     )(planes)
     return out.reshape(n, c, h // 2, w // 2)
+
+
+def _downsample2x_fwd(x, taps):
+    return _downsample2x_core(x, taps), ()
+
+
+def _downsample2x_bwd(taps, res, g):
+    """Transpose of the stride-2 correlation y[m] = Σ_k t[k]·x[2m+k-1] is
+    dx[i] = Σ_k t[k]·dy[(i+1-k)/2] = the polyphase UPSAMPLE with reversed
+    taps — the two Pallas kernels are each other's transpose."""
+    del res
+    return (_upsample2x_core(g, taps[::-1]).astype(g.dtype),)
+
+
+_downsample2x_core.defvjp(_downsample2x_fwd, _downsample2x_bwd)
+
+
+def downsample2d_pallas(x, f, down: int = 2, padding=0,
+                        flip_filter: bool = False, gain: float = 1.0,
+                        force: bool = False):
+    """Drop-in for ops.downsample2d on the hot configuration; XLA fallback
+    otherwise. Differentiable: custom VJP re-invokes the upsample kernel."""
+    n, c, h, w = x.shape
+    usable = (
+        down == 2 and padding == 0 and h * w <= 4 * _MAX_PLANE
+        and h % 16 == 0 and w % 256 == 0
+        and (force or jax.default_backend() == "tpu")
+    )
+    taps = _canonical_taps(np.asarray(f), gain, flip_filter) if usable else None
+    if taps is None:
+        return downsample2d_xla(x, f, down=down, padding=padding,
+                                flip_filter=flip_filter, gain=gain)
+    return _downsample2x_core(x, taps)

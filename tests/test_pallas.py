@@ -37,7 +37,7 @@ def test_upsample_pallas_matches_xla(data):
     x, f = data
     want = np.asarray(upsample2d(x, f))
     with pltpu.force_tpu_interpret_mode():
-        got = np.asarray(upsample2d_pallas(x, f))
+        got = np.asarray(upsample2d_pallas(x, f, force=True))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
@@ -48,7 +48,7 @@ def test_downsample_pallas_matches_xla():
                     .astype(np.float32))
     want = np.asarray(downsample2d(y, f))
     with pltpu.force_tpu_interpret_mode():
-        got = np.asarray(downsample2d_pallas(y, f))
+        got = np.asarray(downsample2d_pallas(y, f, force=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
@@ -57,7 +57,7 @@ def test_upsample_pallas_gradient(data):
 
     def loss_p(z):
         with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(upsample2d_pallas(z, f) ** 2)
+            return jnp.sum(upsample2d_pallas(z, f, force=True) ** 2)
 
     def loss_x(z):
         return jnp.sum(upsample2d(z, f) ** 2)
@@ -75,3 +75,41 @@ def test_fallback_for_unsupported_shapes():
     want = np.asarray(upsample2d(x, f))
     got = np.asarray(upsample2d_pallas(x, f))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_downsample_pallas_gradient():
+    f = setup_filter([1, 3, 3, 1])
+    y = jnp.asarray(np.random.RandomState(3).randn(1, 2, 32, 256)
+                    .astype(np.float32))
+
+    def loss_p(z):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(downsample2d_pallas(z, f, force=True) ** 2)
+
+    def loss_x(z):
+        return jnp.sum(downsample2d(z, f) ** 2)
+
+    gp = np.asarray(jax.grad(loss_p)(y))
+    gx = np.asarray(jax.grad(loss_x)(y))
+    np.testing.assert_allclose(gp, gx, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_second_order_gradients():
+    # the up/down kernels are each other's VJP, so 2nd-order grads chain
+    # up → down → up; compare against pure XLA
+    f = setup_filter([1, 3, 3, 1])
+    x = jnp.asarray(np.random.RandomState(4).randn(1, 1, 8, 128)
+                    .astype(np.float32))
+    v = jnp.ones_like(x)
+
+    def loss_p(z):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(upsample2d_pallas(z, f, force=True) ** 3)
+
+    def loss_x(z):
+        return jnp.sum(upsample2d(z, f) ** 3)
+
+    hvp_p = jax.grad(lambda z: jnp.vdot(jax.grad(loss_p)(z), v))(x)
+    hvp_x = jax.grad(lambda z: jnp.vdot(jax.grad(loss_x)(z), v))(x)
+    np.testing.assert_allclose(np.asarray(hvp_p), np.asarray(hvp_x),
+                               rtol=1e-4, atol=1e-4)
