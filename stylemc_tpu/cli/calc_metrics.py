@@ -3,8 +3,17 @@
 CLI contract: the stylegan2-ada calc_metrics surface behind the registry in
 /root/reference/metrics/metric_main.py (fid50k_full, kid50k_full,
 pr50k3_full, ppl2_wend, is50k, ...). Dataset features come from an image
-directory; the Inception detector loads from STYLEMC_INCEPTION (torchvision
-inception_v3 state dict) and the PPL LPIPS-VGG bundle from STYLEMC_LPIPS_VGG.
+directory; the Inception detector loads from STYLEMC_INCEPTION (a
+torchvision-layout state dict; pytorch-fid's pt_inception-2015-12-05
+weights use those names) and the PPL LPIPS-VGG bundle from
+STYLEMC_LPIPS_VGG.
+
+Detector variants (--detector_variant, recorded in every result line):
+  fid2015 (default) — the Inception-2015 TF graph the reference detector
+      encodes (metric_utils.py:21-22): 1008-way logits, TF pooling quirks.
+      Numbers are comparable to reference/stylegan2-ada-published FIDs when
+      the ported Inception-2015 weights are supplied.
+  tv — plain torchvision inception_v3; NOT comparable to reference FIDs.
 """
 
 from __future__ import annotations
@@ -25,9 +34,13 @@ import numpy as np
 @click.option("--num_gen", type=int, default=50000)
 @click.option("--batch", type=int, default=16)
 @click.option("--inception", "inception_path", type=str, default=None)
+@click.option("--detector_variant", type=click.Choice(["fid2015", "tv"]),
+              default="fid2015",
+              help="fid2015 = reference Inception-2015 TF graph "
+                   "(FID comparable to the reference); tv = torchvision")
 @click.option("--allow_random_init", is_flag=True, default=False)
 def main(network_pkl, metrics, data_dir, num_gen, batch, inception_path,
-         allow_random_init):
+         detector_variant, allow_random_init):
     import jax
     import jax.numpy as jnp
     from ..io import load_generator, load_state_dict_numpy
@@ -49,13 +62,14 @@ def main(network_pkl, metrics, data_dir, num_gen, batch, inception_path,
             "or pass --allow_random_init")
 
     _feat_jit = jax.jit(inc.inception_features,
-                        static_argnames=("return_logits",))
+                        static_argnames=("return_logits", "variant"))
 
     def features_fn(x):
-        return _feat_jit(inc_params, x)
+        return _feat_jit(inc_params, x, variant=detector_variant)
 
     def probs_fn(x):
-        return _feat_jit(inc_params, x, return_logits=True)
+        return _feat_jit(inc_params, x, return_logits=True,
+                         variant=detector_variant)
 
     def dataset_features_fn(opts, max_items, _probs=False):
         from ..data.images import make_dataset
@@ -95,6 +109,7 @@ def main(network_pkl, metrics, data_dir, num_gen, batch, inception_path,
         assert is_valid_metric(name), f"unknown metric {name}"
         out = calc_metric(name, opts=opts)
         print(json.dumps({"metric": name, **out.results,
+                          "detector": detector_variant,
                           "total_time": out.total_time}))
 
 

@@ -2,11 +2,25 @@
 
 Behavioral contract: the Inception-2015 feature detector consumed by the
 reference metrics (/root/reference/metrics/metric_utils.py:40-50 downloads a
-TorchScript build; frechet_inception_distance.py:22). This implementation
-follows the torchvision inception_v3 graph (BasicConv2d = conv + BN(eps
-1e-3) + ReLU; A/B/C/D/E blocks; 2048-d pool3 features; fc logits), with
-weight import from a torchvision-format state dict — the standard
-pytorch-fid detector weights load directly.
+TorchScript build of the original TF graph; frechet_inception_distance
+.py:22). Two selectable variants share this graph code:
+
+  variant="fid2015" (DEFAULT — matches the reference detector): the
+    Inception-2015 TF graph as encoded by the NVIDIA/pytorch-fid port:
+    1008-way logits and the TF pooling quirks — A/C blocks and Mixed_7b
+    average-pool with count_include_pad=False, Mixed_7c's pool branch is a
+    MAX pool. FID numbers from this variant are comparable to
+    stylegan2-ada-published / reference-computed FIDs (given the ported
+    Inception-2015 weights, e.g. pytorch-fid's pt_inception-2015-12-05
+    state dict).
+  variant="tv": the torchvision inception_v3 graph (1000-way fc,
+    count_include_pad avg pools) for torchvision-weight users. NOT
+    comparable to reference FIDs.
+
+Common structure: BasicConv2d = conv + BN(eps 1e-3) + ReLU; A/B/C/D/E
+blocks; 2048-d pool3 features; fc logits. Weight import from a
+torchvision-layout state dict (pytorch-fid's detector weights use the same
+names).
 
 Input: uint8 [N, H, W, 3] → resized to 299² (bilinear) and scaled to
 [-1, 1] (TF preprocessing).
@@ -45,24 +59,41 @@ def _maxpool(x, k=3, s=2):
                                  (1, 1, k, k), (1, 1, s, s), "VALID")
 
 
-def _avgpool3(x):
-    return jax.lax.reduce_window(
+def _avgpool3(x, count_include_pad: bool = True):
+    s = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 1, 3, 3), (1, 1, 1, 1),
-        [(0, 0), (0, 0), (1, 1), (1, 1)]) / 9.0
+        [(0, 0), (0, 0), (1, 1), (1, 1)])
+    if count_include_pad:
+        return s / 9.0
+    # TF 'SAME' avg pooling divides by the number of VALID taps per window
+    # (count_include_pad=False) — the Inception-2015 quirk pytorch-fid's
+    # FIDInceptionA/C/E_1 reproduce.
+    ones = jnp.ones((1, 1, x.shape[2], x.shape[3]), x.dtype)
+    cnt = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (1, 1, 3, 3), (1, 1, 1, 1),
+        [(0, 0), (0, 0), (1, 1), (1, 1)])
+    return s / cnt
 
 
-def _inception_a(p, x):
+def _maxpool3s1(x):
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                 (1, 1, 3, 3), (1, 1, 1, 1),
+                                 [(0, 0), (0, 0), (1, 1), (1, 1)])
+
+
+def _inception_a(p, x, fid: bool = False):
     b1 = _basic(p["branch1x1"], x)
     b5 = _basic(p["branch5x5_1"], x)
     b5 = _basic(p["branch5x5_2"], b5, padding=2)
     b3 = _basic(p["branch3x3dbl_1"], x)
     b3 = _basic(p["branch3x3dbl_2"], b3, padding=1)
     b3 = _basic(p["branch3x3dbl_3"], b3, padding=1)
-    bp = _basic(p["branch_pool"], _avgpool3(x))
+    bp = _basic(p["branch_pool"], _avgpool3(x, count_include_pad=not fid))
     return jnp.concatenate([b1, b5, b3, bp], axis=1)
 
 
-def _inception_b(p, x):
+def _inception_b(p, x, fid: bool = False):
+    del fid  # no pooling-variant difference in reduction block B
     b3 = _basic(p["branch3x3"], x, stride=2)
     bd = _basic(p["branch3x3dbl_1"], x)
     bd = _basic(p["branch3x3dbl_2"], bd, padding=1)
@@ -71,7 +102,7 @@ def _inception_b(p, x):
     return jnp.concatenate([b3, bd, bp], axis=1)
 
 
-def _inception_c(p, x):
+def _inception_c(p, x, fid: bool = False):
     b1 = _basic(p["branch1x1"], x)
     b7 = _basic(p["branch7x7_1"], x)
     b7 = _basic(p["branch7x7_2"], b7, padding=[(0, 0), (3, 3)])
@@ -81,11 +112,12 @@ def _inception_c(p, x):
     bd = _basic(p["branch7x7dbl_3"], bd, padding=[(0, 0), (3, 3)])
     bd = _basic(p["branch7x7dbl_4"], bd, padding=[(3, 3), (0, 0)])
     bd = _basic(p["branch7x7dbl_5"], bd, padding=[(0, 0), (3, 3)])
-    bp = _basic(p["branch_pool"], _avgpool3(x))
+    bp = _basic(p["branch_pool"], _avgpool3(x, count_include_pad=not fid))
     return jnp.concatenate([b1, b7, bd, bp], axis=1)
 
 
-def _inception_d(p, x):
+def _inception_d(p, x, fid: bool = False):
+    del fid  # no pooling-variant difference in reduction block D
     b3 = _basic(p["branch3x3_1"], x)
     b3 = _basic(p["branch3x3_2"], b3, stride=2)
     b7 = _basic(p["branch7x7x3_1"], x)
@@ -96,7 +128,7 @@ def _inception_d(p, x):
     return jnp.concatenate([b3, b7, bp], axis=1)
 
 
-def _inception_e(p, x):
+def _inception_e(p, x, fid: bool = False, last: bool = False):
     b1 = _basic(p["branch1x1"], x)
     b3 = _basic(p["branch3x3_1"], x)
     b3a = _basic(p["branch3x3_2a"], b3, padding=[(0, 0), (1, 1)])
@@ -107,8 +139,18 @@ def _inception_e(p, x):
     bda = _basic(p["branch3x3dbl_3a"], bd, padding=[(0, 0), (1, 1)])
     bdb = _basic(p["branch3x3dbl_3b"], bd, padding=[(1, 1), (0, 0)])
     bd = jnp.concatenate([bda, bdb], axis=1)
-    bp = _basic(p["branch_pool"], _avgpool3(x))
+    if fid and last:
+        # Inception-2015's Mixed_7c pool branch is a MAX pool (pytorch-fid
+        # FIDInceptionE_2 — "patch ... to match the TF implementation")
+        pool = _maxpool3s1(x)
+    else:
+        pool = _avgpool3(x, count_include_pad=not fid)
+    bp = _basic(p["branch_pool"], pool)
     return jnp.concatenate([b1, b3, bd, bp], axis=1)
+
+
+def _inception_e_last(p, x, fid: bool = False):
+    return _inception_e(p, x, fid=fid, last=True)
 
 
 _BLOCKS = [
@@ -117,13 +159,21 @@ _BLOCKS = [
     ("Mixed_6b", _inception_c), ("Mixed_6c", _inception_c),
     ("Mixed_6d", _inception_c), ("Mixed_6e", _inception_c),
     ("Mixed_7a", _inception_d), ("Mixed_7b", _inception_e),
-    ("Mixed_7c", _inception_e),
+    ("Mixed_7c", _inception_e_last),
 ]
 
+VARIANTS = ("fid2015", "tv")
 
-def inception_features(params, images_u8, return_logits: bool = False):
+
+def inception_features(params, images_u8, return_logits: bool = False,
+                       variant: str = "fid2015"):
     """images_u8: uint8/float [N, H, W, 3] → pool features [N, 2048]
-    (or softmax probs [N, num_classes] with return_logits)."""
+    (or softmax probs [N, num_classes] with return_logits).
+
+    variant="fid2015" reproduces the Inception-2015 TF-graph pooling the
+    reference detector encodes; "tv" is plain torchvision inception_v3."""
+    assert variant in VARIANTS, f"unknown detector variant {variant!r}"
+    fid = variant == "fid2015"
     x = jnp.asarray(images_u8, jnp.float32).transpose(0, 3, 1, 2)
     if x.shape[-1] != 299:
         # torchvision FID convention: bilinear resize to 299
@@ -142,7 +192,7 @@ def inception_features(params, images_u8, return_logits: bool = False):
     x = _basic(p["Conv2d_4a_3x3"], x)
     x = _maxpool(x)
     for name, fn in _BLOCKS:
-        x = fn(p[name], x)
+        x = fn(p[name], x, fid=fid)
     feats = jnp.mean(x, axis=(2, 3))
     if return_logits:
         logits = feats @ p["fc"]["weight"].T.astype(feats.dtype) + \

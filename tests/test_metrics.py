@@ -196,3 +196,43 @@ def test_inception_feature_shapes():
     probs = inception_features(params, jnp.asarray(imgs), return_logits=True)
     assert probs.shape == (2, 1008)
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-4)
+
+
+def test_avgpool_count_include_pad_vs_torch():
+    """The fid2015 variant's TF 'SAME' average pooling (divide by valid tap
+    count) must match torch avg_pool2d(count_include_pad=False), and the
+    Mixed_7c max-pool branch must match max_pool2d(3,1,1)."""
+    import torch
+    import torch.nn.functional as F
+    from stylemc_tpu.metrics.inception import _avgpool3, _maxpool3s1
+
+    x = np.random.RandomState(0).randn(2, 3, 9, 9).astype(np.float32)
+    want = F.avg_pool2d(torch.from_numpy(x), kernel_size=3, stride=1,
+                        padding=1, count_include_pad=False).numpy()
+    got = np.asarray(_avgpool3(jnp.asarray(x), count_include_pad=False))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    want_inc = F.avg_pool2d(torch.from_numpy(x), kernel_size=3, stride=1,
+                            padding=1, count_include_pad=True).numpy()
+    got_inc = np.asarray(_avgpool3(jnp.asarray(x), count_include_pad=True))
+    np.testing.assert_allclose(got_inc, want_inc, rtol=1e-6, atol=1e-6)
+
+    want_max = F.max_pool2d(torch.from_numpy(x), kernel_size=3, stride=1,
+                            padding=1).numpy()
+    got_max = np.asarray(_maxpool3s1(jnp.asarray(x)))
+    np.testing.assert_allclose(got_max, want_max, rtol=1e-6, atol=1e-6)
+
+
+def test_inception_variants_differ():
+    """fid2015 and tv must produce different features from the same params
+    (the pooling quirks are real), and both must be selectable."""
+    params = init_inception_params(jax.random.PRNGKey(0))
+    imgs = np.random.RandomState(1).randint(0, 255, (1, 75, 75, 3), np.uint8)
+    f_fid = np.asarray(inception_features(params, jnp.asarray(imgs),
+                                          variant="fid2015"))
+    f_tv = np.asarray(inception_features(params, jnp.asarray(imgs),
+                                         variant="tv"))
+    assert f_fid.shape == f_tv.shape == (1, 2048)
+    assert not np.allclose(f_fid, f_tv)
+    with pytest.raises(AssertionError):
+        inception_features(params, jnp.asarray(imgs), variant="nope")
