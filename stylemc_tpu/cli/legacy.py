@@ -16,12 +16,15 @@ import click
 @click.option("--source", required=True, help="Input .pkl", metavar="PATH")
 @click.option("--dest", required=True, help="Output .npz", metavar="PATH")
 @click.option("--key", default="G_ema", show_default=True)
-def main(source, dest, key):
+@click.option("--force-fp16", is_flag=True, default=False, show_default=True,
+              help="force num_fp16_res=4 + conv_clamp=256 "
+                   "(reference legacy.py:39-55)")
+def main(source, dest, key, force_fp16):
     from ..io import load_generator
     from ..io.native import save_native
 
     print(f'Loading "{source}"...')
-    cfg, params = load_generator(source, key=key)
+    cfg, params = load_generator(source, key=key, force_fp16=force_fp16)
     print(f'Saving "{dest}"...')
     save_native(dest, cfg, params)
     print("Done.")

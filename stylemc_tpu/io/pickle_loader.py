@@ -228,7 +228,8 @@ def _config_from_stub(stub: PersistentStub) -> GeneratorConfig:
     )
 
 
-def generator_from_stub(stub: PersistentStub) -> Tuple[GeneratorConfig, Dict]:
+def generator_from_stub(stub: PersistentStub,
+                        force_fp16: bool = False) -> Tuple[GeneratorConfig, Dict]:
     """Assemble (config, params pytree) from a G/G_ema stub.
 
     Name mapping (torch state_dict namespace → pytree):
@@ -240,9 +241,15 @@ def generator_from_stub(stub: PersistentStub) -> Tuple[GeneratorConfig, Dict]:
       synthesis.b{res}.torgb.{affine.*,weight,bias}
     resample_filter buffers are derived, not imported.
     """
+    import dataclasses
+
     import jax.numpy as jnp
 
     cfg = _config_from_stub(stub)
+    if force_fp16:
+        # reference legacy.py:39-55: force num_fp16_res=4 + conv_clamp=256
+        # on networks saved without mixed precision
+        cfg = dataclasses.replace(cfg, num_fp16_res=4, conv_clamp=256)
     tensors = stub.named_tensors()
 
     def get(name, required=True):
@@ -295,11 +302,12 @@ def generator_from_stub(stub: PersistentStub) -> Tuple[GeneratorConfig, Dict]:
     return cfg, {"mapping": mapping, "synthesis": synthesis}
 
 
-def load_generator(path, key: str = "G_ema") -> Tuple[GeneratorConfig, Dict]:
+def load_generator(path, key: str = "G_ema",
+                   force_fp16: bool = False) -> Tuple[GeneratorConfig, Dict]:
     if isinstance(path, str) and path.endswith(".npz"):
         from .native import load_native
         return load_native(path)
     data = load_network_pkl(path)
     stub = data[key]
     assert isinstance(stub, PersistentStub), f"{key} is not a persistent network"
-    return generator_from_stub(stub)
+    return generator_from_stub(stub, force_fp16=force_fp16)

@@ -80,40 +80,10 @@ def test_gradual_style_encoder_shapes(enc):
 
 
 def test_encoder_torch_roundtrip(enc):
-    # Export → torch namespace → reimport → identical outputs.
-    state = {}
-    p = enc
-    state["input_layer.0.weight"] = np.array(p["input_conv_weight"])
-    for k in ("weight", "bias", "running_mean", "running_var"):
-        state[f"input_layer.1.{k}"] = np.array(p["input_bn"][k])
-    state["input_layer.2.weight"] = np.array(p["input_prelu"])
-    from stylemc_tpu.models.arcface import ir_se_50_layout
-    for i, (in_c, depth, stride) in enumerate(ir_se_50_layout()):
-        bp = p["body"][f"{i}"]
-        for k in ("weight", "bias", "running_mean", "running_var"):
-            state[f"body.{i}.res_layer.0.{k}"] = np.array(bp["bn1"][k])
-            state[f"body.{i}.res_layer.4.{k}"] = np.array(bp["bn2"][k])
-        state[f"body.{i}.res_layer.1.weight"] = np.array(bp["conv1_weight"])
-        state[f"body.{i}.res_layer.2.weight"] = np.array(bp["prelu"])
-        state[f"body.{i}.res_layer.3.weight"] = np.array(bp["conv2_weight"])
-        state[f"body.{i}.res_layer.5.fc1.weight"] = np.array(bp["se"]["fc1_weight"])
-        state[f"body.{i}.res_layer.5.fc2.weight"] = np.array(bp["se"]["fc2_weight"])
-        if in_c != depth:
-            state[f"body.{i}.shortcut_layer.0.weight"] = np.array(bp["shortcut_conv_weight"])
-            for k in ("weight", "bias", "running_mean", "running_var"):
-                state[f"body.{i}.shortcut_layer.1.{k}"] = np.array(bp["shortcut_bn"][k])
-    for i in range(14):
-        hp = p["styles"][f"{i}"]
-        n_convs = len([k for k in hp if k.startswith("conv")])
-        for j in range(n_convs):
-            state[f"styles.{i}.convs.{2 * j}.weight"] = np.array(hp[f"conv{j}"]["weight"])
-            state[f"styles.{i}.convs.{2 * j}.bias"] = np.array(hp[f"conv{j}"]["bias"])
-        state[f"styles.{i}.linear.weight"] = np.array(hp["linear"]["weight"])
-        state[f"styles.{i}.linear.bias"] = np.array(hp["linear"]["bias"])
-    for name in ("latlayer1", "latlayer2"):
-        state[f"{name}.weight"] = np.array(p[name]["weight"])
-        state[f"{name}.bias"] = np.array(p[name]["bias"])
+    # Export -> torch namespace -> reimport -> identical outputs.
+    from fabricate import encoder_to_torch_state
 
+    state = encoder_to_torch_state(enc, n_styles=14)
     p2 = encoder_params_from_torch_state(state, stylegan_size=256)
     x = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 256, 256)) * 0.5
     np.testing.assert_allclose(
@@ -124,38 +94,7 @@ def test_encoder_torch_roundtrip(enc):
 # ---------------------------------------------------------------- rosinality
 
 
-def _ada_to_rosinality_state(cfg, params):
-    """Export our pytree into the rosinality g_ema namespace."""
-    state = {}
-    for i in range(cfg.mapping_layers):
-        state[f"style.{i + 1}.weight"] = np.array(params["mapping"][f"fc{i}"]["weight"])
-        state[f"style.{i + 1}.bias"] = np.array(params["mapping"][f"fc{i}"]["bias"])
-    syn = params["synthesis"]
-    state["input.input"] = np.array(syn["b4"]["const"])[None]
-
-    def put_conv(pfx, lp, noise_idx, res):
-        state[f"{pfx}.conv.weight"] = np.array(lp["weight"])[None]
-        state[f"{pfx}.conv.modulation.weight"] = np.array(lp["affine"]["weight"])
-        state[f"{pfx}.conv.modulation.bias"] = np.array(lp["affine"]["bias"])
-        state[f"{pfx}.noise.weight"] = np.array(lp["noise_strength"]).reshape(1)
-        state[f"{pfx}.activate.bias"] = np.array(lp["bias"])
-        state[f"noises.noise_{noise_idx}"] = np.array(lp["noise_const"])[None, None]
-
-    def put_torgb(pfx, lp):
-        state[f"{pfx}.conv.weight"] = np.array(lp["weight"])[None]
-        state[f"{pfx}.conv.modulation.weight"] = np.array(lp["affine"]["weight"])
-        state[f"{pfx}.conv.modulation.bias"] = np.array(lp["affine"]["bias"])
-        state[f"{pfx}.bias"] = np.array(lp["bias"]).reshape(1, 3, 1, 1)
-
-    put_conv("conv1", syn["b4"]["conv1"], 0, 4)
-    put_torgb("to_rgb1", syn["b4"]["torgb"])
-    ni = 1
-    for m, res in enumerate(cfg.block_resolutions[1:]):
-        put_conv(f"convs.{2 * m}", syn[f"b{res}"]["conv0"], ni, res)
-        put_conv(f"convs.{2 * m + 1}", syn[f"b{res}"]["conv1"], ni + 1, res)
-        put_torgb(f"to_rgbs.{m}", syn[f"b{res}"]["torgb"])
-        ni += 2
-    return state
+from fabricate import ada_to_rosinality_state as _ada_to_rosinality_state  # noqa: E402
 
 
 def test_rosinality_roundtrip():
