@@ -1,0 +1,1 @@
+from .visualize import show_bboxes  # noqa: F401

@@ -195,3 +195,15 @@ def test_read_image_mask(tmp_path):
     assert out.shape == (32, 32)
     np.testing.assert_allclose(out[:16], 0.0)
     np.testing.assert_allclose(out[16:], 1.0)
+
+
+def test_show_bboxes():
+    from stylemc_tpu.models.mtcnn.visualize import show_bboxes
+    img = np.zeros((40, 40, 3), np.uint8)
+    boxes = np.array([[5, 5, 20, 20, 0.9]])
+    lms = np.array([[8, 10, 12, 9, 11, 8, 8, 12, 14, 14]], np.float64)
+    out = show_bboxes(img, boxes, lms)
+    arr = np.asarray(out)
+    assert arr.shape == (40, 40, 3)
+    assert arr[5, 5:21].max() == 255        # white box edge drawn
+    assert (arr != 0).any(axis=(0, 1)).all() is not None
