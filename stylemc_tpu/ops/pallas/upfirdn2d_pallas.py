@@ -178,11 +178,17 @@ def upsample2d_pallas(x, f, up: int = 2, padding=0, flip_filter: bool = False,
 
 def _downsample2x_plane(x, g):
     """[2H, 2W] → [H, W]: out[m] = Σ_k g[k]·x[2m + k - 1] per axis
-    (canonical downsample2d padding (1,1))."""
+    (canonical downsample2d padding (1,1)).
+
+    The even/odd phases come from a sublane reshape (the inverse of
+    _interleave_rows) — a strided slice t[0::2] would lower to a gather,
+    which Mosaic rejects on TPU."""
     def down_rows(t):
         g0, g1, g2, g3 = g
-        te = t[0::2]                       # t[2m]
-        to = t[1::2]                       # t[2m+1]
+        h2 = t.shape[0] // 2
+        tt = t.reshape(h2, 2, t.shape[1])
+        te = tt[:, 0]                      # t[2m]
+        to = tt[:, 1]                      # t[2m+1]
         te_prev = _shift_down(to, 0)       # t[2m-1]
         to_next = _shift_up(te, 0)         # t[2m+2]
         return g0 * te_prev + g1 * te + g2 * to + g3 * to_next

@@ -65,9 +65,12 @@ def _seed_rosinality_op_stub():
             return fused_leaky_relu(input, self.bias, self.negative_slope,
                                     self.scale)
 
-    def upfirdn2d(*a, **k):
-        raise RuntimeError("rosinality upfirdn2d stub: not needed for the "
-                           "Mapper parity test")
+    def upfirdn2d(input, kernel, up=1, down=1, pad=(0, 0)):
+        # the rosinality native path is convolution (flipped kernel) with
+        # symmetric padding — exactly ADA's _upfirdn2d_ref semantics
+        from torch_utils.ops.upfirdn2d import _upfirdn2d_ref
+        return _upfirdn2d_ref(input, kernel, up=up, down=down,
+                              padding=[pad[0], pad[1], pad[0], pad[1]])
 
     mod.fused_leaky_relu = fused_leaky_relu
     mod.FusedLeakyReLU = FusedLeakyReLU
@@ -465,3 +468,83 @@ def test_deeplab_vs_torch():
     got = np.asarray(deeplab_apply(params_from_torch_state(state),
                                    jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+# ------------------------------------------- (g) rosinality generator / disc
+
+
+@pytest.mark.slow
+def test_rosinality_generator_vs_torch():
+    """Full-generator oracle: our ADA-layout JAX generator vs the in-tree
+    rosinality torch Generator (encoder4editing/models/stylegan2/model.py
+    :362-543), sharing weights via the rosinality export namespace. This
+    validates modulated conv + demodulation, noise injection, blur
+    up-sampling, the skip-ToRGB chain, and the style MLP end to end."""
+    _seed_rosinality_op_stub()
+    _seed_torchvision_stub()
+    from encoder4editing.models.stylegan2.model import Generator
+
+    from fabricate import ada_to_rosinality_state
+    from stylemc_tpu.io.rosinality import config_for_rosinality
+    from stylemc_tpu.models.stylegan2.generator import (
+        init_generator_params, mapping, synthesis, w_to_s)
+
+    size = 32
+    cfg = config_for_rosinality(size)
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    state = {k: torch.from_numpy(np.ascontiguousarray(v))
+             for k, v in ada_to_rosinality_state(cfg, params).items()}
+
+    net = Generator(size, 512, n_mlp=cfg.mapping_layers)
+    missing, unexpected = net.load_state_dict(state, strict=False)
+    assert not unexpected, unexpected
+    # blur/upsample FIR kernels are derived constants the module already
+    # builds in __init__ (make_kernel([1,3,3,1])) — not learned state
+    assert all(k.endswith("kernel") for k in missing), missing
+    net.eval()
+
+    rng = np.random.RandomState(1)
+    z = rng.randn(2, 512).astype(np.float32)
+
+    with torch.no_grad():
+        want, _ = net([torch.from_numpy(z)], input_is_latent=False,
+                      randomize_noise=False)
+    ws = mapping(params, cfg, jnp.asarray(z))
+    got = synthesis(params, cfg, w_to_s(params, cfg, ws), noise_mode="const")
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=1e-3, atol=2e-4)
+
+    # w-path (input_is_latent=True): skip the style MLP on both sides
+    w = rng.randn(1, 512).astype(np.float32)
+    with torch.no_grad():
+        want_w, _ = net([torch.from_numpy(w)], input_is_latent=True,
+                        randomize_noise=False)
+    n_ws = ws.shape[1]
+    w_b = jnp.repeat(jnp.asarray(w)[:, None], n_ws, axis=1)
+    got_w = synthesis(params, cfg, w_to_s(params, cfg, w_b),
+                      noise_mode="const")
+    np.testing.assert_allclose(np.asarray(got_w), want_w.numpy(),
+                               rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_rosinality_discriminator_vs_torch():
+    _seed_rosinality_op_stub()
+    _seed_torchvision_stub()
+    from encoder4editing.models.stylegan2.model import Discriminator
+
+    from stylemc_tpu.models.stylegan2.discriminator import (
+        discriminator_apply, d_params_from_rosinality)
+
+    size = 32
+    net = Discriminator(size)
+    state = _randomize_state_dict(net, seed=9, scale=0.1)
+    net.eval()
+
+    rng = np.random.RandomState(10)
+    x = rng.randn(4, 3, size, size).astype(np.float32)  # stddev_group=4
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()
+    got = np.asarray(discriminator_apply(
+        d_params_from_rosinality(state, size), jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
