@@ -35,6 +35,11 @@ def _install_fake_persistence_module():
     mod = types.ModuleType("torch_utils.persistence")
     mod._reconstruct_persistent_obj = _reconstruct_persistent_obj
     pkg = types.ModuleType("torch_utils")
+    # keep real submodules importable through the fake package (the
+    # reference-parity tests import torch_utils.ops.* in the same session)
+    ref_pkg_dir = "/root/reference/torch_utils"
+    if os.path.isdir(ref_pkg_dir):
+        pkg.__path__ = [ref_pkg_dir]
     pkg.persistence = mod
     sys.modules.setdefault("torch_utils", pkg)
     sys.modules["torch_utils.persistence"] = mod
