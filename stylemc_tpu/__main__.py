@@ -15,6 +15,7 @@ CLIS = [
     ("calc_losses_on_images", "LPIPS/L2 between image dirs"),
     ("clip_filter", "CLIP attribute filtering / dataset balancing"),
     ("compare_directions", "per-channel cosine between direction files"),
+    ("serve", "HTTP edit serving over pre-compiled batch buckets"),
 ]
 
 if __name__ == "__main__":

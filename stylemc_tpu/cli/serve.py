@@ -1,0 +1,148 @@
+"""HTTP serving for batch edits (stdlib-only).
+
+The reference has no serving layer (SURVEY.md §1); this is the minimal
+TPU-native one over serve.BatchEditor: pre-compiled bucketed batches,
+device-resident weights, one worker thread owning the device (JAX dispatch
+is not thread-safe across concurrent tracers; requests queue through a
+lock), JPEG/PNG responses.
+
+Endpoints:
+  GET /healthz                  → 200 "ok"
+  GET /edit?seeds=1-4&power=2.0[&pairs=1][&format=png]
+                                → image grid (vertical stack) of edits
+  GET /stats                    → JSON request counters + latency summary
+
+Usage:
+  python -m stylemc_tpu.cli.serve --network ffhq.npz \
+      --direction runs/m2f/direction_x.npz --port 8080
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import click
+import numpy as np
+
+
+def _parse_seeds(spec: str):
+    out = []
+    for part in spec.split(","):
+        if "-" in part:
+            lo, hi = part.split("-")
+            out.extend(range(int(lo), int(hi) + 1))
+        else:
+            out.append(int(part))
+    return out
+
+
+class EditService:
+    """Thread-safe wrapper: one device owner lock + latency stats."""
+
+    def __init__(self, editor):
+        self.editor = editor
+        self._lock = threading.Lock()
+        self._latencies = []
+        self.requests = 0
+        self.errors = 0
+
+    def edit(self, seeds, power: float, pairs: bool) -> np.ndarray:
+        t0 = time.perf_counter()
+        with self._lock:
+            imgs = self.editor.edit_seeds(seeds, change_power=power,
+                                          pairs=pairs)
+        with self._lock:
+            self._latencies.append(time.perf_counter() - t0)
+            self.requests += 1
+        return imgs
+
+    def stats(self):
+        with self._lock:
+            lat = np.asarray(self._latencies[-1000:]) * 1e3
+        out = {"requests": self.requests, "errors": self.errors}
+        if lat.size:
+            out.update(p50_ms=round(float(np.percentile(lat, 50)), 2),
+                       p99_ms=round(float(np.percentile(lat, 99)), 2))
+        return out
+
+
+def make_handler(service: EditService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code, body: bytes, ctype="text/plain"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            try:
+                if url.path == "/healthz":
+                    self._send(200, b"ok")
+                elif url.path == "/stats":
+                    self._send(200, json.dumps(service.stats()).encode(),
+                               "application/json")
+                elif url.path == "/edit":
+                    q = parse_qs(url.query)
+                    seeds = _parse_seeds(q.get("seeds", ["0"])[0])
+                    if len(seeds) > 256:
+                        self._send(400, b"too many seeds (max 256)")
+                        return
+                    power = float(q.get("power", ["2.0"])[0])
+                    pairs = q.get("pairs", ["0"])[0] not in ("0", "false")
+                    fmt = q.get("format", ["jpeg"])[0].lower()
+                    imgs = service.edit(seeds, power, pairs)
+                    grid = np.concatenate(list(imgs), axis=0)  # vstack
+                    from PIL import Image
+                    buf = io.BytesIO()
+                    Image.fromarray(grid, "RGB").save(
+                        buf, format="PNG" if fmt == "png" else "JPEG")
+                    self._send(200, buf.getvalue(), f"image/{fmt}")
+                else:
+                    self._send(404, b"not found")
+            except Exception as e:  # noqa: BLE001 — serving must not die
+                service.errors += 1
+                self._send(500, f"error: {e}".encode())
+
+    return Handler
+
+
+def build_server(editor, host: str = "127.0.0.1", port: int = 8080):
+    service = EditService(editor)
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    return server, service
+
+
+@click.command()
+@click.option("--network", required=True)
+@click.option("--direction", type=str, default=None)
+@click.option("--mapper", type=str, default=None)
+@click.option("--host", type=str, default="127.0.0.1", show_default=True)
+@click.option("--port", type=int, default=8080, show_default=True)
+@click.option("--max_batch", type=int, default=64, show_default=True)
+@click.option("--warmup/--no-warmup", default=True,
+              help="compile every batch bucket before accepting requests")
+def main(network, direction, mapper, host, port, max_batch, warmup):
+    from ..serve import BatchEditor
+
+    editor = BatchEditor.from_files(network, direction=direction,
+                                    mapper=mapper, max_batch=max_batch)
+    if warmup:
+        print("warming up (compiling batch buckets)...")
+        editor.warmup()
+    server, _ = build_server(editor, host, port)
+    print(f"serving on http://{host}:{port}  (/edit?seeds=1-4&power=2.0)")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

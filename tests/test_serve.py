@@ -58,3 +58,46 @@ def test_mapper_backend():
     assert out.shape == (2, 32, 64, 3)
     left, right = out[:, :, :32].astype(int), out[:, :, 32:].astype(int)
     assert np.abs(left - right).max() > 0
+
+
+def test_http_server_endpoints():
+    """cli/serve.py HTTP layer: /healthz, /edit, /stats over a live socket."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from stylemc_tpu.cli.serve import build_server, _parse_seeds
+
+    assert _parse_seeds("1-3,7") == [1, 2, 3, 7]
+
+    editor = _editor()
+    server, service = build_server(editor, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        assert urllib.request.urlopen(f"{base}/healthz").read() == b"ok"
+
+        r = urllib.request.urlopen(
+            f"{base}/edit?seeds=1-2&power=2.0&pairs=1&format=png")
+        assert r.headers["Content-Type"] == "image/png"
+        img = np.asarray(Image.open(io.BytesIO(r.read())))
+        assert img.shape == (2 * 32, 64, 3)  # 2 seeds vstacked, [orig|edit]
+
+        stats = json.loads(urllib.request.urlopen(f"{base}/stats").read())
+        assert stats["requests"] == 1 and "p50_ms" in stats
+
+        # bad request → 500/400, server stays alive
+        try:
+            urllib.request.urlopen(f"{base}/edit?seeds=notanumber")
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code in (400, 500)
+        assert urllib.request.urlopen(f"{base}/healthz").read() == b"ok"
+    finally:
+        server.shutdown()
+        server.server_close()
