@@ -1,16 +1,30 @@
-"""Benchmark: FFHQ-256 synthesis throughput (imgs/sec/chip).
+"""Benchmarks.
 
-The reference publishes no numbers (BASELINE.md); the baseline constant below
-is a documented single-V100 estimate for StyleGAN2-ADA 256px generation with
-the stock CUDA kernels (~60 imgs/s, fp16-upper-blocks inference, batch 16) —
-used only to populate vs_baseline until a measured reference number exists.
+Line 1 (primary): FFHQ-256 synthesis throughput (imgs/sec/chip).
+Line 2 (north star, BASELINE.md): find_direction wall-clock — 129 seeds,
+batch 4, 256px, 4 epochs (the README.md:24-26 reference workload), warm,
+with an MFU estimate from the compiled step's XLA cost analysis.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
+The reference publishes no numbers (BASELINE.md); baseline constants below
+are documented estimates used only to populate vs_baseline until a measured
+reference number exists.
+
+Weights: set STYLEMC_NETWORK to a real .pkl/.npz to bench it; otherwise a
+full-size FFHQ-256 checkpoint is fabricated once into /tmp in the NVIDIA
+pickle format and loaded through io.pickle_loader — so the bench exercises
+the real import path and realistic init-scale magnitudes (conv_clamp=256,
+bf16 upper blocks). Each JSON line notes which weights were used.
+
+Prints one JSON line per metric:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
 
 import json
+import os
+import sys
 import time
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -19,22 +33,79 @@ from stylemc_tpu.models.stylegan2.generator import (
     GeneratorConfig, init_generator_params, mapping, w_to_s, synthesis,
 )
 
-V100_REFERENCE_IMGS_PER_SEC = 60.0  # documented estimate, see module docstring
+# Documented single-V100 estimates (no published reference numbers exist):
+# ~60 imgs/s StyleGAN2-ADA 256px generation (fp16 upper blocks, batch 16);
+# ~60 s for the 129-seed/4-epoch find_direction run (fork README workload,
+# ViT-B/32+B/16 + ArcFace at 256px ≈ 450 ms/step × 132 steps).
+V100_REFERENCE_IMGS_PER_SEC = 60.0
+V100_REFERENCE_FIND_DIRECTION_SEC = 60.0
 
 BATCH = 64
 WARMUP = 3
 ITERS = 20
 
+# bf16 peak FLOPs/s per chip for the MFU estimate, by device kind prefix.
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 394e12, "TPU v5e": 394e12,
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12, "TPU v6 lite": 918e12,
+}
 
-def main():
-    # FFHQ-256 full-size generator; bfloat16 on the top num_fp16_res blocks —
-    # the TPU-native analogue of the fp16 policy NVIDIA's released pkls use.
-    cfg = GeneratorConfig(img_resolution=256, low_precision_dtype="bfloat16")
-    params = init_generator_params(jax.random.PRNGKey(0), cfg)
 
-    z = jax.random.normal(jax.random.PRNGKey(1), (BATCH, cfg.z_dim))
-    ws = mapping(params, cfg, z, truncation_psi=0.7)
-    styles = w_to_s(params, cfg, ws)
+def _peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for prefix, peak in _PEAK_FLOPS.items():
+        if kind.startswith(prefix):
+            return peak
+    return 394e12  # default: v5e
+
+
+def _cpu():
+    return jax.local_devices(backend="cpu")[0]
+
+
+def _get_network():
+    """(cfg, params, tag): STYLEMC_NETWORK if set, else a fabricated
+    full-size FFHQ-256 NVIDIA-format pickle loaded through the real import
+    path (cached in /tmp). Everything runs on the host CPU — eager op
+    dispatch over a tunneled TPU is pathological; the hot loops device_put
+    or jit onto the accelerator afterwards."""
+    from stylemc_tpu.io import load_generator
+
+    with jax.default_device(_cpu()):
+        env = os.environ.get("STYLEMC_NETWORK")
+        if env and os.path.exists(env):
+            cfg, params = load_generator(env)
+            return cfg, params, os.path.basename(env)
+
+        cache = "/tmp/stylemc_bench_ffhq256.pkl"
+        if not os.path.exists(cache):
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                            "tests"))
+            from test_pickle_loader import fabricate_pkl
+
+            cfg0 = GeneratorConfig(img_resolution=256)
+            params0 = init_generator_params(jax.random.PRNGKey(0), cfg0)
+            fabricate_pkl("/tmp", cfg0, params0)
+            os.replace("/tmp/fake_network.pkl", cache)
+        cfg, params = load_generator(cache)
+    return cfg, params, "fabricated-ffhq256.pkl (random init via loader)"
+
+
+def bench_synthesis(cfg, params, weights_tag):
+    import dataclasses
+
+    # bfloat16 on the top num_fp16_res blocks — the TPU-native analogue of
+    # the fp16 policy NVIDIA's released pkls use
+    cfg = dataclasses.replace(cfg, low_precision_dtype="bfloat16")
+    with jax.default_device(_cpu()):
+        z = jax.random.normal(jax.random.PRNGKey(1), (BATCH, cfg.z_dim))
+        ws = mapping(params, cfg, z, truncation_psi=0.7)
+        styles = w_to_s(params, cfg, ws)
+    styles = jax.device_put(np.asarray(styles), jax.devices()[0])
+    params = jax.device_put(jax.tree_util.tree_map(np.asarray, params),
+                            jax.devices()[0])
 
     fn = jax.jit(lambda s: synthesis(params, cfg, s, noise_mode="const"))
     for _ in range(WARMUP):
@@ -50,14 +121,156 @@ def main():
     dt = time.perf_counter() - t0
 
     imgs_per_sec = BATCH * ITERS / dt
-    n_chips = max(1, len([d for d in jax.devices()]))
+    n_chips = max(1, len(jax.devices()))
     value = imgs_per_sec / n_chips
     print(json.dumps({
         "metric": "ffhq256_synthesis_imgs_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(value / V100_REFERENCE_IMGS_PER_SEC, 3),
+        "weights": weights_tag,
     }))
+
+
+def bench_find_direction(cfg, params, weights_tag):
+    import optax
+
+    from stylemc_tpu.models.clip import CLIP_CONFIGS, init_clip_params
+    from stylemc_tpu.models.arcface import init_backbone_params
+    from stylemc_tpu.models.clip.tokenizer import FallbackTokenizer
+    from stylemc_tpu.train.find_direction import (
+        FindDirectionConfig, TRAINABLE, find_direction, make_clip_bundles,
+        make_loss_fn, precompute_original_features,
+    )
+
+    fdc = FindDirectionConfig(resolution=256, batch_size=4, n_epochs=4,
+                              clip_type="double")
+    # init on host CPU; jit/device_put moves everything onto the chip
+    with jax.default_device(_cpu()):
+        clip_models = {
+            name: (CLIP_CONFIGS[name],
+                   init_clip_params(jax.random.PRNGKey(i + 10),
+                                    CLIP_CONFIGS[name]))
+            for i, name in enumerate(("ViT-B/32", "ViT-B/16"))
+        }
+        arcface = init_backbone_params(jax.random.PRNGKey(20))
+        # the README.md:24-26 reference workload: 129 seeds
+        n_seeds = 129
+        z = jax.random.normal(jax.random.PRNGKey(2), (n_seeds, cfg.z_dim))
+        styles = w_to_s(params, cfg,
+                        mapping(params, cfg, z, truncation_psi=0.7))
+    tokenizer = FallbackTokenizer()
+
+    dev = jax.devices()[0]
+    to_dev = lambda t: jax.device_put(  # noqa: E731
+        jax.tree_util.tree_map(np.asarray, t), dev)
+    params = to_dev(params)
+    arcface = to_dev(arcface)
+    clip_models = {k: (c, to_dev(p)) for k, (c, p) in clip_models.items()}
+    styles = to_dev(styles)
+
+    def run():
+        t0 = time.perf_counter()
+        direction, info = find_direction(params, cfg, np.asarray(styles),
+                                         clip_models, arcface, fdc,
+                                         tokenizer=tokenizer)
+        jax.block_until_ready(direction)
+        return time.perf_counter() - t0, info
+
+    run()                      # cold: compile + feature-cache warm-up
+    total, info = run()        # warm: the measured number
+    # the comparable number is the optimization loop, matching the
+    # reference's `time passed` instrumentation (find_direction.py:291,353
+    # brackets the loop, not model loading / feature extraction)
+    elapsed = info["time"]
+    steps = info["iterations"]
+    ms_per_step = 1e3 * elapsed / max(steps, 1)
+
+    # MFU from the compiled step's XLA FLOPs (the same value_and_grad + SGD
+    # graph find_direction jits; compile hits the persistent cache)
+    mfu = None
+    try:
+        bundles = make_clip_bundles(fdc, clip_models, tokenizer=tokenizer)
+        id_f, clip_f = precompute_original_features(
+            params, cfg, styles[:fdc.batch_size], bundles, arcface, fdc)
+        loss_fn = make_loss_fn(params, cfg, bundles, arcface, fdc)
+        optimizer = optax.inject_hyperparams(optax.sgd)(learning_rate=1.5)
+        delta = jnp.zeros((1, len(TRAINABLE), 512), jnp.float32)
+        opt_state = optimizer.init(delta)
+        mp = {"gen": params, "arc": arcface, "clip": [b.params for b in bundles]}
+
+        def step(d, os_, s, i_f, c_f, m):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                d, s, i_f, c_f, m)
+            upd, os_ = optimizer.update(grads, os_, d)
+            return optax.apply_updates(d, upd), os_, loss
+
+        compiled = jax.jit(step).lower(
+            delta, opt_state, styles[:fdc.batch_size], id_f, clip_f,
+            mp).compile()
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops * (steps / elapsed) / _peak_flops()
+    except Exception as e:  # cost analysis is best-effort
+        print(f"# mfu estimate unavailable: {e}", file=sys.stderr)
+
+    out = {
+        "metric": "find_direction_129seed_wall_clock",
+        "value": round(elapsed, 2),
+        "unit": "seconds (warm, 129 seeds, batch 4, 256px, 4 epochs)",
+        "vs_baseline": round(V100_REFERENCE_FIND_DIRECTION_SEC / elapsed, 3),
+        "ms_per_step": round(ms_per_step, 1),
+        "steps": steps,
+        "total_incl_precompute_sec": round(total, 2),
+        "weights": weights_tag,
+    }
+    if mfu is not None:
+        out["mfu_vs_bf16_peak"] = round(mfu, 4)
+    print(json.dumps(out))
+
+
+def bench_serving(cfg, params, weights_tag):
+    """BatchEditor request latency (p50/p99 per bucket) — the serving
+    subsystem has no reference counterpart; numbers recorded in PARITY.md."""
+    from stylemc_tpu.serve import BatchEditor
+
+    with jax.default_device(_cpu()):
+        rng = np.random.RandomState(0)
+        direction = rng.randn(1, 26, 512).astype(np.float32) * 0.5
+
+    editor = BatchEditor(cfg, jax.device_put(
+        jax.tree_util.tree_map(np.asarray, params), jax.devices()[0]),
+        direction=direction, max_batch=64)
+    editor.warmup()
+
+    out = {"metric": "serve_edit_latency", "unit": "ms/request",
+           "weights": weights_tag, "vs_baseline": 1.0}
+    for b in (1, 8, 64):
+        styles = np.asarray(editor.styles_from_seeds(range(b)))
+        lat = []
+        for _ in range(40):
+            t0 = time.perf_counter()
+            editor.edit_styles(styles, change_power=2.0)  # returns np → sync
+            lat.append(1e3 * (time.perf_counter() - t0))
+        lat = np.asarray(lat[5:])  # drop warmup stragglers
+        out[f"batch{b}_p50_ms"] = round(float(np.percentile(lat, 50)), 2)
+        out[f"batch{b}_p99_ms"] = round(float(np.percentile(lat, 99)), 2)
+    out["value"] = out["batch1_p50_ms"]
+    print(json.dumps(out))
+
+
+def main():
+    # persistent compile cache: repeated bench runs skip recompilation
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/stylemc_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    cfg, params, weights_tag = _get_network()
+    bench_synthesis(cfg, params, weights_tag)
+    bench_find_direction(cfg, params, weights_tag)
+    if os.environ.get("STYLEMC_BENCH_SERVE", "1") != "0":
+        bench_serving(cfg, params, weights_tag)
 
 
 if __name__ == "__main__":

@@ -26,7 +26,7 @@ from .models.stylegan2.generator import (GeneratorConfig, mapping, w_to_s,
                                          synthesis)
 from .models.mapper import mapper_apply
 from .edit import (N_STYLE_CHANNELS, STYLE_DIM, TRAINABLE,
-                   mapper_directions_batched, to_uint8_hwc)
+                   mapper_directions_batched)
 
 
 class BatchEditor:
@@ -57,9 +57,15 @@ class BatchEditor:
             lambda gp, z: w_to_s(gp, self.cfg,
                                  mapping(gp, self.cfg, z,
                                          truncation_psi=self.truncation_psi)))
-        self._render = jax.jit(
-            lambda gp, s: synthesis(gp, self.cfg, s,
-                                    noise_mode=self.noise_mode))
+
+        def _render_u8(gp, s):
+            # uint8 NHWC conversion ON DEVICE: a quarter of the fp32 NCHW
+            # bytes over the host link (matters on tunneled devices)
+            img = synthesis(gp, self.cfg, s, noise_mode=self.noise_mode)
+            img = jnp.transpose(img, (0, 2, 3, 1)) * 127.5 + 128
+            return jnp.clip(img, 0, 255).astype(jnp.uint8)
+
+        self._render = jax.jit(_render_u8)
 
     # ------------------------------------------------------------- plumbing
 
@@ -110,10 +116,10 @@ class BatchEditor:
             edited = self._render(self.params, padded + d * change_power)
             if pairs:
                 orig = self._render(self.params, padded)
-                img = np.concatenate([to_uint8_hwc(orig),
-                                      to_uint8_hwc(edited)], axis=2)
+                img = np.concatenate([np.asarray(orig), np.asarray(edited)],
+                                     axis=2)
             else:
-                img = to_uint8_hwc(edited)
+                img = np.asarray(edited)
             outs.append(img[:n])
         return np.concatenate(outs, axis=0)
 
