@@ -54,6 +54,7 @@ def test_lookahead_syncs_every_k():
     np.testing.assert_allclose(float(params["w"]), -0.1, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_ranger_decreases_loss():
     opt = ranger(5e-2)
     params = {"w": jnp.asarray(2.0)}
@@ -73,6 +74,7 @@ def test_ranger_decreases_loss():
 
 # ------------------------------------------------------------------ lpips
 
+@pytest.mark.slow
 def test_lpips_zero_for_identical():
     p = init_lpips_params(jax.random.PRNGKey(0), "alex")
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64)) * 0.5
@@ -80,6 +82,7 @@ def test_lpips_zero_for_identical():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_lpips_positive_and_grad():
     p = init_lpips_params(jax.random.PRNGKey(0), "vgg")
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 64, 64)) * 0.5
@@ -99,6 +102,7 @@ def test_w_norm_loss():
     assert float(w_norm_loss(latent, None, start_from_latent_avg=False)) > 0
 
 
+@pytest.mark.slow
 def test_e4e_id_loss():
     arc = tiny_arcface()
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 256, 256)) * 0.3

@@ -53,6 +53,7 @@ def enc():
     return init_encoder_params(jax.random.PRNGKey(0), stylegan_size=256)
 
 
+@pytest.mark.slow
 def test_encoder4editing_shapes(enc):
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 256, 256)) * 0.5
     w = encoder4editing(enc, x, stylegan_size=256)
@@ -60,6 +61,7 @@ def test_encoder4editing_shapes(enc):
     assert np.isfinite(np.array(w)).all()
 
 
+@pytest.mark.slow
 def test_encoder4editing_progressive_stages(enc):
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 256, 256)) * 0.5
     w0 = encoder4editing(enc, x, stylegan_size=256, progressive_stage=0)
@@ -79,6 +81,7 @@ def test_gradual_style_encoder_shapes(enc):
     assert w.shape == (1, 14, 512)
 
 
+@pytest.mark.slow
 def test_encoder_torch_roundtrip(enc):
     # Export -> torch namespace -> reimport -> identical outputs.
     from fabricate import encoder_to_torch_state
@@ -137,6 +140,7 @@ def test_config_for_rosinality_channels():
 # ----------------------------------------------------------------------- psp
 
 
+@pytest.mark.slow
 def test_psp_end_to_end(enc):
     gen_cfg = GeneratorConfig(img_resolution=256, channel_base=1024,
                               channel_max=64, mapping_layers=2,
@@ -153,6 +157,7 @@ def test_psp_end_to_end(enc):
     assert np.isfinite(np.array(img)).all()
 
 
+@pytest.mark.slow
 def test_psp_latent_mask(enc):
     gen_cfg = GeneratorConfig(img_resolution=256, channel_base=1024,
                               channel_max=64, mapping_layers=2,

@@ -226,6 +226,7 @@ def test_find_direction_bf16_perception(setup):
     assert cos > 0.9
 
 
+@pytest.mark.slow
 def test_find_direction_steps_per_dispatch_matches_unrolled(setup):
     gen_cfg, gen_params, clip_models, arcface, styles = setup
     d1, i1 = find_direction(gen_params, gen_cfg, styles, clip_models, arcface,

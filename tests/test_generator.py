@@ -136,6 +136,7 @@ def test_direction_application_changes_image(small_gen):
     assert not np.allclose(np.array(img0), np.array(img1))
 
 
+@pytest.mark.slow
 def test_grad_flows_to_styles(small_gen):
     cfg, params = small_gen
     z = jax.random.normal(jax.random.PRNGKey(9), (1, cfg.z_dim))
@@ -188,6 +189,7 @@ def test_bf16_synthesis(small_gen):
     assert np.abs(img16 - img32).mean() < 0.1
 
 
+@pytest.mark.slow
 def test_discriminator_forward_and_grad():
     from stylemc_tpu.models.stylegan2.discriminator import (
         init_discriminator_params, discriminator_apply, minibatch_stddev,

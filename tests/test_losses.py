@@ -31,6 +31,7 @@ def arcface():
     return init_backbone_params(jax.random.PRNGKey(0))
 
 
+@pytest.mark.slow
 def test_arcface_embedding(arcface):
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 112, 112)) * 0.5
     f = backbone_apply(arcface, x)
@@ -81,6 +82,7 @@ def test_id_loss_zero_for_identical(arcface):
     np.testing.assert_allclose(float(loss), 0.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_id_loss_positive_and_differentiable(arcface):
     a = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 256, 256)) * 0.3
     b = jax.random.normal(jax.random.PRNGKey(5), (1, 3, 256, 256)) * 0.3

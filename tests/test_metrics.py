@@ -187,6 +187,7 @@ def test_calc_metric_pr(tiny_metric_opts):
 
 # -------------------------------------------------------------- inception
 
+@pytest.mark.slow
 def test_inception_feature_shapes():
     params = init_inception_params(jax.random.PRNGKey(0))
     imgs = np.random.RandomState(0).randint(0, 255, (2, 75, 75, 3), np.uint8)
@@ -223,6 +224,7 @@ def test_avgpool_count_include_pad_vs_torch():
     np.testing.assert_allclose(got_max, want_max, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_inception_variants_differ():
     """fid2015 and tv must produce different features from the same params
     (the pooling quirks are real), and both must be selectable."""
