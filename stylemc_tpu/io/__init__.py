@@ -6,6 +6,8 @@ from .pickle_loader import (
     load_generator,
 )
 from .torch_state import load_state_dict_numpy, strip_prefix
+from .tf_legacy import (TFNetworkStub, convert_tf_generator,
+                        convert_tf_discriminator, discriminator_from_stub)
 
 __all__ = [
     "EasyDict",
@@ -15,4 +17,8 @@ __all__ = [
     "load_generator",
     "load_state_dict_numpy",
     "strip_prefix",
+    "TFNetworkStub",
+    "convert_tf_generator",
+    "convert_tf_discriminator",
+    "discriminator_from_stub",
 ]

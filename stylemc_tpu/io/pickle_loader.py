@@ -178,6 +178,11 @@ class _SafeUnpickler(pickle.Unpickler):
     def find_class(self, module: str, name: str):
         if module.startswith("torch_utils.persistence") and name == "_reconstruct_persistent_obj":
             return _reconstruct_persistent_stub
+        if module == "dnnlib.tflib.network" and name == "Network":
+            # legacy TF pickle (reference legacy.py:65-72): inert stub, the
+            # embedded build source is never executed
+            from .tf_legacy import TFNetworkStub
+            return TFNetworkStub
         if module.startswith("dnnlib") and name == "EasyDict":
             return EasyDict
         if module == "torch.storage" and name == "_load_from_bytes":
@@ -203,6 +208,17 @@ def load_network_pkl(f) -> Dict[str, Any]:
             data = _SafeUnpickler(fh).load()
     else:
         data = _SafeUnpickler(f).load()
+
+    # Legacy TensorFlow pickle => convert (reference legacy.py:24-30).
+    from .tf_legacy import (is_tf_network_tuple, convert_tf_generator,
+                            convert_tf_discriminator)
+    if is_tf_network_tuple(data):
+        tf_G, tf_D, tf_Gs = data
+        data = {"G": convert_tf_generator(tf_G),
+                "D": convert_tf_discriminator(tf_D),
+                "G_ema": convert_tf_generator(tf_Gs),
+                "training_set_kwargs": None, "augment_pipe": None}
+
     assert isinstance(data, dict), f"unexpected pickle payload: {type(data)}"
     return data
 
@@ -269,6 +285,9 @@ def generator_from_stub(stub: PersistentStub,
         }
     w_avg = get("mapping.w_avg", required=False)
     mapping["w_avg"] = w_avg if w_avg is not None else jnp.zeros((cfg.w_dim,))
+    if cfg.c_dim > 0:
+        mapping["embed"] = {"weight": get("mapping.embed.weight"),
+                            "bias": get("mapping.embed.bias")}
 
     def conv_layer(pfx, res):
         return {

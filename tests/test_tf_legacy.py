@@ -1,0 +1,290 @@
+"""Legacy TF pickle conversion: fabricate a (G, D, Gs) TensorFlow-format
+pickle (the dnnlib.tflib.network.Network on-disk layout, reference
+legacy.py:24-30,65-86) from our pytrees via the inverse variable transforms,
+then verify load_network_pkl converts it back bit-exactly — without ever
+executing the embedded build source."""
+
+import os
+import pickle
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stylemc_tpu.io import (load_network_pkl, load_generator,
+                            generator_from_stub, discriminator_from_stub)
+from stylemc_tpu.models.stylegan2.generator import (
+    GeneratorConfig, init_generator_params, generate,
+)
+from stylemc_tpu.models.stylegan2.discriminator import (
+    init_discriminator_params, discriminator_apply,
+)
+
+
+# --------------------------------------------------------------- fabrication
+
+def _install_fake_tflib():
+    """Register dnnlib.tflib.network.Network so pickle.dump records the
+    legacy global name. Instances pickle as (class, state-dict) — the same
+    stream shape real TF checkpoints have."""
+    netmod = types.ModuleType("dnnlib.tflib.network")
+
+    class Network:
+        def __init__(self, **state):
+            self.__dict__.update(state)
+
+    Network.__module__ = "dnnlib.tflib.network"
+    Network.__qualname__ = "Network"
+    netmod.Network = Network
+    tflib = types.ModuleType("dnnlib.tflib")
+    tflib.network = netmod
+    dnnlib = sys.modules.get("dnnlib") or types.ModuleType("dnnlib")
+    dnnlib.tflib = tflib
+    sys.modules.setdefault("dnnlib", dnnlib)
+    sys.modules["dnnlib.tflib"] = tflib
+    sys.modules["dnnlib.tflib.network"] = netmod
+    return Network
+
+
+def _oihw_to_hwio(w, flip=False):
+    w = np.asarray(w, np.float32).transpose(2, 3, 1, 0)
+    if flip:
+        w = w[::-1, ::-1]
+    return np.ascontiguousarray(w)
+
+
+_EMBEDDED_SRC = "raise RuntimeError('executed embedded TF build source')\n"
+
+
+def fabricate_tf_generator(Network, cfg: GeneratorConfig, params):
+    """Our pytree → TF variable layout (inverse of legacy.py:172-203)."""
+    g = params["mapping"]
+    map_vars = []
+    for i in range(cfg.mapping_layers):
+        map_vars.append((f"Dense{i}/weight",
+                         np.asarray(g[f"fc{i}"]["weight"], np.float32).T))
+        map_vars.append((f"Dense{i}/bias",
+                         np.asarray(g[f"fc{i}"]["bias"], np.float32)))
+
+    syn_vars = []
+
+    def put_conv(src, lp, noise_idx, flip):
+        syn_vars.append((f"{src}/weight",
+                         _oihw_to_hwio(lp["weight"], flip=flip)))
+        syn_vars.append((f"{src}/bias", np.asarray(lp["bias"], np.float32)))
+        syn_vars.append((f"{src}/noise_strength",
+                         np.float32(lp["noise_strength"])))
+        syn_vars.append((f"noise{noise_idx}",
+                         np.asarray(lp["noise_const"], np.float32)[None, None]))
+        syn_vars.append((f"{src}/mod_weight",
+                         np.asarray(lp["affine"]["weight"], np.float32).T))
+        syn_vars.append((f"{src}/mod_bias",
+                         np.asarray(lp["affine"]["bias"], np.float32) - 1))
+
+    def put_torgb(src, lp):
+        syn_vars.append((f"{src}/weight", _oihw_to_hwio(lp["weight"])))
+        syn_vars.append((f"{src}/bias", np.asarray(lp["bias"], np.float32)))
+        syn_vars.append((f"{src}/mod_weight",
+                         np.asarray(lp["affine"]["weight"], np.float32).T))
+        syn_vars.append((f"{src}/mod_bias",
+                         np.asarray(lp["affine"]["bias"], np.float32) - 1))
+
+    b4 = params["synthesis"]["b4"]
+    syn_vars.append(("4x4/Const/const",
+                     np.asarray(b4["const"], np.float32)[None]))
+    put_conv("4x4/Conv", b4["conv1"], 0, flip=False)
+    put_torgb("4x4/ToRGB", b4["torgb"])
+    for r in cfg.block_resolutions[1:]:
+        bp = params["synthesis"][f"b{r}"]
+        lg = int(np.log2(r))
+        put_conv(f"{r}x{r}/Conv0_up", bp["conv0"], lg * 2 - 5, flip=True)
+        put_conv(f"{r}x{r}/Conv1", bp["conv1"], lg * 2 - 4, flip=False)
+        put_torgb(f"{r}x{r}/ToRGB", bp["torgb"])
+
+    static_kwargs = {
+        "latent_size": cfg.z_dim, "dlatent_size": cfg.w_dim,
+        "resolution": cfg.img_resolution, "num_channels": cfg.img_channels,
+        "mapping_layers": cfg.mapping_layers,
+        "fmap_base": cfg.channel_base // 2, "fmap_max": cfg.channel_max,
+        "num_fp16_res": cfg.num_fp16_res, "conv_clamp": cfg.conv_clamp,
+        "truncation_psi": 0.5,  # known-ignored kwarg (legacy.py:150)
+    }
+    return Network(
+        version=4, name="G", static_kwargs=static_kwargs,
+        build_module_src=_EMBEDDED_SRC, build_func_name="G_main",
+        variables=[("dlatent_avg",
+                    np.asarray(params["mapping"]["w_avg"], np.float32))],
+        components={
+            "mapping": Network(version=4, name="G_mapping", static_kwargs={},
+                               build_module_src=_EMBEDDED_SRC,
+                               build_func_name="G_mapping",
+                               variables=map_vars, components={}),
+            "synthesis": Network(version=4, name="G_synthesis",
+                                 static_kwargs={},
+                                 build_module_src=_EMBEDDED_SRC,
+                                 build_func_name="G_synthesis",
+                                 variables=syn_vars, components={}),
+        })
+
+
+def fabricate_tf_discriminator(Network, size: int, params):
+    """Our pytree → TF variable layout (inverse of legacy.py:268-287)."""
+    tvars = [
+        (f"{size}x{size}/FromRGB/weight",
+         _oihw_to_hwio(params["stem"]["weight"])),
+        (f"{size}x{size}/FromRGB/bias",
+         np.asarray(params["stem"]["bias"], np.float32)),
+    ]
+    for i in range(int(np.log2(size)), 2, -1):
+        r = 2 ** i
+        bp = params[f"block{r}"]
+        tvars += [
+            (f"{r}x{r}/Conv0/weight", _oihw_to_hwio(bp["conv1"]["weight"])),
+            (f"{r}x{r}/Conv0/bias", np.asarray(bp["conv1"]["bias"], np.float32)),
+            (f"{r}x{r}/Conv1_down/weight",
+             _oihw_to_hwio(bp["conv2"]["weight"])),
+            (f"{r}x{r}/Conv1_down/bias",
+             np.asarray(bp["conv2"]["bias"], np.float32)),
+            (f"{r}x{r}/Skip/weight", _oihw_to_hwio(bp["skip_weight"])),
+        ]
+    tvars += [
+        ("4x4/Conv/weight", _oihw_to_hwio(params["final_conv"]["weight"])),
+        ("4x4/Conv/bias", np.asarray(params["final_conv"]["bias"], np.float32)),
+        ("4x4/Dense0/weight",
+         np.asarray(params["final_linear1"]["weight"], np.float32).T),
+        ("4x4/Dense0/bias",
+         np.asarray(params["final_linear1"]["bias"], np.float32)),
+        ("Output/weight",
+         np.asarray(params["final_linear2"]["weight"], np.float32).T),
+        ("Output/bias",
+         np.asarray(params["final_linear2"]["bias"], np.float32)),
+    ]
+    return Network(version=4, name="D",
+                   static_kwargs={"resolution": size, "fmap_base": 16384,
+                                  "structure": "resnet"},
+                   build_module_src=_EMBEDDED_SRC, build_func_name="D_main",
+                   variables=tvars, components={})
+
+
+@pytest.fixture(scope="module")
+def tf_pkl(tmp_path_factory):
+    Network = _install_fake_tflib()
+    cfg = GeneratorConfig(img_resolution=16, channel_base=512, channel_max=64,
+                          mapping_layers=2, conv_clamp=None, num_fp16_res=0)
+    g_params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    d_params = init_discriminator_params(jax.random.PRNGKey(1), size=16)
+    tf_G = fabricate_tf_generator(Network, cfg, g_params)
+    tf_D = fabricate_tf_discriminator(Network, 16, d_params)
+    tf_Gs = fabricate_tf_generator(Network, cfg, g_params)
+    path = os.path.join(str(tmp_path_factory.mktemp("tfpkl")), "tf_net.pkl")
+    with open(path, "wb") as f:
+        pickle.dump((tf_G, tf_D, tf_Gs), f)
+    return cfg, g_params, d_params, path
+
+
+# --------------------------------------------------------------------- tests
+
+def test_tf_pickle_converts_to_standard_layout(tf_pkl):
+    _, _, _, path = tf_pkl
+    data = load_network_pkl(path)
+    assert set(data) == {"G", "D", "G_ema", "training_set_kwargs",
+                         "augment_pipe"}
+    assert data["training_set_kwargs"] is None
+
+
+def test_tf_generator_params_roundtrip(tf_pkl):
+    cfg, g_params, _, path = tf_pkl
+    cfg2, params2 = load_generator(path)
+    assert cfg2 == cfg
+    flat1 = jax.tree_util.tree_leaves_with_path(g_params)
+    flat2 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(params2)}
+    assert len(flat1) == len(flat2)
+    for k, v in flat1:
+        np.testing.assert_allclose(np.asarray(v, np.float32),
+                                   np.asarray(flat2[jax.tree_util.keystr(k)]),
+                                   rtol=0, atol=1e-7, err_msg=jax.tree_util.keystr(k))
+
+
+def test_tf_generator_output_matches(tf_pkl):
+    cfg, g_params, _, path = tf_pkl
+    _, params2 = load_generator(path)
+    z = jax.random.normal(jax.random.PRNGKey(7), (2, cfg.z_dim))
+    img1 = generate(g_params, cfg, z, truncation_psi=0.7)
+    img2 = generate(params2, cfg, z, truncation_psi=0.7)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2),
+                               rtol=0, atol=1e-6)
+
+
+def test_tf_discriminator_roundtrip(tf_pkl):
+    _, _, d_params, path = tf_pkl
+    data = load_network_pkl(path)
+    size, d2 = discriminator_from_stub(data["D"])
+    assert size == 16
+    flat2 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(d2)}
+    for k, v in jax.tree_util.tree_leaves_with_path(d_params):
+        np.testing.assert_allclose(np.asarray(v, np.float32),
+                                   np.asarray(flat2[jax.tree_util.keystr(k)]),
+                                   rtol=0, atol=1e-7, err_msg=jax.tree_util.keystr(k))
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 3, 16, 16)) * 0.5
+    np.testing.assert_allclose(np.asarray(discriminator_apply(d_params, x)),
+                               np.asarray(discriminator_apply(d2, x)),
+                               rtol=0, atol=1e-6)
+
+
+def test_tf_embedded_source_never_executed(tf_pkl):
+    # the fabricated build_module_src raises if ever exec'd; loading must not
+    _, _, _, path = tf_pkl
+    load_network_pkl(path)
+
+
+def test_tf_unknown_kwarg_rejected(tmp_path):
+    Network = _install_fake_tflib()
+    cfg = GeneratorConfig(img_resolution=16, channel_base=512, channel_max=64,
+                          mapping_layers=2, conv_clamp=None, num_fp16_res=0)
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    tf_G = fabricate_tf_generator(Network, cfg, params)
+    tf_G.static_kwargs["totally_new_option"] = 3
+    p = os.path.join(str(tmp_path), "bad.pkl")
+    with open(p, "wb") as f:
+        pickle.dump((tf_G, tf_G, tf_G), f)
+    with pytest.raises(ValueError, match="Unknown TensorFlow kwarg"):
+        load_network_pkl(p)
+
+
+def test_tf_version_too_low_rejected(tmp_path):
+    Network = _install_fake_tflib()
+    cfg = GeneratorConfig(img_resolution=16, channel_base=512, channel_max=64,
+                          mapping_layers=2, conv_clamp=None, num_fp16_res=0)
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    tf_G = fabricate_tf_generator(Network, cfg, params)
+    tf_G.version = 3
+    p = os.path.join(str(tmp_path), "old.pkl")
+    with open(p, "wb") as f:
+        pickle.dump((tf_G, tf_G, tf_G), f)
+    with pytest.raises(ValueError, match="version too low"):
+        load_network_pkl(p)
+
+
+def test_tf_progressive_architecture_rejected(tmp_path):
+    Network = _install_fake_tflib()
+    cfg = GeneratorConfig(img_resolution=16, channel_base=512, channel_max=64,
+                          mapping_layers=2, conv_clamp=None, num_fp16_res=0)
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    tf_G = fabricate_tf_generator(Network, cfg, params)
+    tf_G.components["synthesis"].variables.append(
+        ("ToRGB_lod0/weight", np.zeros((1, 1, 3, 3), np.float32)))
+    # ToRGB_lod vars live at the synthesis component in real TF pickles but
+    # the reference matches them at any prefix; ours matches the raw name
+    tf_G.variables.append(("ToRGB_lod0/weight",
+                           np.zeros((1, 1, 3, 3), np.float32)))
+    p = os.path.join(str(tmp_path), "prog.pkl")
+    with open(p, "wb") as f:
+        pickle.dump((tf_G, tf_G, tf_G), f)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        load_network_pkl(p)
