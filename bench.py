@@ -268,9 +268,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     cfg, params, weights_tag = _get_network()
     bench_synthesis(cfg, params, weights_tag)
-    bench_find_direction(cfg, params, weights_tag)
     if os.environ.get("STYLEMC_BENCH_SERVE", "1") != "0":
         bench_serving(cfg, params, weights_tag)
+    # north-star metric last: a last-JSON-line parser records this one
+    bench_find_direction(cfg, params, weights_tag)
 
 
 if __name__ == "__main__":

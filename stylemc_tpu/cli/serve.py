@@ -129,13 +129,19 @@ def build_server(editor, host: str = "127.0.0.1", port: int = 8080):
 @click.option("--host", type=str, default="127.0.0.1", show_default=True)
 @click.option("--port", type=int, default=8080, show_default=True)
 @click.option("--max_batch", type=int, default=64, show_default=True)
+@click.option("--precision", default="fp32", show_default=True,
+              type=click.Choice(["fp32", "bf16-upper", "bf16"]),
+              help="fp32 = pipeline bit-parity; bf16-upper = NVIDIA fp16 "
+                   "inference policy (TPU-native); bf16 = fastest")
 @click.option("--warmup/--no-warmup", default=True,
               help="compile every batch bucket before accepting requests")
-def main(network, direction, mapper, host, port, max_batch, warmup):
+def main(network, direction, mapper, host, port, max_batch, precision,
+         warmup):
     from ..serve import BatchEditor
 
     editor = BatchEditor.from_files(network, direction=direction,
-                                    mapper=mapper, max_batch=max_batch)
+                                    mapper=mapper, max_batch=max_batch,
+                                    precision=precision)
     if warmup:
         print("warming up (compiling batch buckets)...")
         editor.warmup()

@@ -277,8 +277,21 @@ def convert_tf_discriminator(tf_D: TFNetworkStub):
 
 
 def discriminator_from_stub(stub) -> Tuple[int, Dict[str, Any]]:
-    """(size, pytree) from a converted TF discriminator stub."""
-    from ..models.stylegan2.discriminator import d_params_from_rosinality
+    """(size, pytree) from a discriminator stub — a converted-TF stub
+    (rosinality tensor namespace) or an NVIDIA torch-pickle stub (ADA
+    namespace, `b{res}.*` names per legacy.py:268-287)."""
+    from ..models.stylegan2.discriminator import (d_params_from_ada,
+                                                  d_params_from_rosinality)
 
-    size = int(stub.init_kwargs["size"])
-    return size, d_params_from_rosinality(stub.named_tensors(), size)
+    tensors = stub.named_tensors()
+    kw = stub.init_kwargs
+    size = int(kw.get("size") or kw.get("img_resolution") or 0)
+    if not size:  # infer from the top-resolution stem name
+        import re
+        tops = [int(m.group(1)) for k in tensors
+                if (m := re.fullmatch(r"b(\d+)\.fromrgb\.weight", k))]
+        size = max(tops) if tops else 0
+    assert size, "cannot determine discriminator resolution"
+    if "b4.conv.weight" in tensors:
+        return size, d_params_from_ada(tensors, size)
+    return size, d_params_from_rosinality(tensors, size)

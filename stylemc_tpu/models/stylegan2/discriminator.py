@@ -120,6 +120,41 @@ def init_discriminator_params(key, size: int = 256,
     return params
 
 
+def d_params_from_ada(state: Dict[str, np.ndarray],
+                      size: int) -> Dict[str, Any]:
+    """NVIDIA ADA Discriminator state dict → pytree.
+
+    Layout: the `training/networks.py` Discriminator embedded in NVIDIA
+    pickles (names documented by /root/reference/legacy.py:268-287):
+    `b{res}.fromrgb` (stem, top res only for 'resnet'), per-block
+    `b{res}.conv0` (same-res) / `conv1` (down) / `skip`, epilogue
+    `b4.conv` / `b4.fc` / `b4.out`. Same architecture and stored-weight
+    conventions as the rosinality layout this module implements.
+    """
+    t = {k: jnp.asarray(np.asarray(v, np.float32)) for k, v in state.items()}
+    log_size = int(np.log2(size))
+    params: Dict[str, Any] = {
+        "stem": {"weight": t[f"b{size}.fromrgb.weight"],
+                 "bias": t[f"b{size}.fromrgb.bias"]},
+    }
+    for i in range(log_size, 2, -1):
+        r = 2 ** i
+        params[f"block{r}"] = {
+            "conv1": {"weight": t[f"b{r}.conv0.weight"],
+                      "bias": t[f"b{r}.conv0.bias"]},
+            "conv2": {"weight": t[f"b{r}.conv1.weight"],
+                      "bias": t[f"b{r}.conv1.bias"]},
+            "skip_weight": t[f"b{r}.skip.weight"],
+        }
+    params["final_conv"] = {"weight": t["b4.conv.weight"],
+                            "bias": t["b4.conv.bias"]}
+    params["final_linear1"] = {"weight": t["b4.fc.weight"],
+                               "bias": t["b4.fc.bias"]}
+    params["final_linear2"] = {"weight": t["b4.out.weight"],
+                               "bias": t["b4.out.bias"]}
+    return params
+
+
 def d_params_from_rosinality(state: Dict[str, np.ndarray],
                              size: int) -> Dict[str, Any]:
     """rosinality Discriminator state dict → pytree. Layout: convs.0 = stem

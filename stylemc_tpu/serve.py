@@ -29,6 +29,25 @@ from .edit import (N_STYLE_CHANNELS, STYLE_DIM, TRAINABLE,
                    mapper_directions_batched)
 
 
+def _apply_precision(cfg: GeneratorConfig, precision: str) -> GeneratorConfig:
+    """Serving precision policy. 'fp32' = bit-parity with the offline
+    pipeline; 'bf16-upper' = bfloat16 on the top num_fp16_res blocks (the
+    NVIDIA fp16 inference policy, TPU-native); 'bf16' = every block bfloat16
+    (fastest; outputs differ from fp32 by ~1 uint8 LSB)."""
+    import dataclasses
+
+    if precision == "fp32":
+        return dataclasses.replace(cfg, low_precision_dtype="float32")
+    if precision == "bf16-upper":
+        return dataclasses.replace(cfg, low_precision_dtype="bfloat16")
+    if precision == "bf16":
+        return dataclasses.replace(
+            cfg, low_precision_dtype="bfloat16",
+            num_fp16_res=len(cfg.block_resolutions))
+    raise ValueError(f"unknown precision {precision!r}; "
+                     "expected fp32 | bf16-upper | bf16")
+
+
 class BatchEditor:
     """Pre-compiled seed/style → edited-image service.
 
@@ -41,7 +60,8 @@ class BatchEditor:
                  direction: Optional[np.ndarray] = None,
                  mapper_params=None, mapper_neg_slope: float = 0.01,
                  max_batch: int = 64, truncation_psi: float = 0.7,
-                 noise_mode: str = "const"):
+                 noise_mode: str = "const", precision: str = "fp32"):
+        gen_cfg = _apply_precision(gen_cfg, precision)
         self.cfg = gen_cfg
         self.params = jax.device_put(gen_params)
         self.direction = None if direction is None else \

@@ -101,3 +101,20 @@ def test_http_server_endpoints():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_precision_variants_close_to_fp32():
+    ref = _editor().edit_seeds([1, 2], change_power=1.0)
+    for precision in ("bf16-upper", "bf16"):
+        out = _editor(precision=precision).edit_seeds([1, 2],
+                                                      change_power=1.0)
+        # bf16 reduces mantissa to 8 bits; uint8 outputs stay within a few
+        # LSBs of the fp32 render
+        diff = np.abs(out.astype(int) - ref.astype(int))
+        assert diff.max() <= 6, (precision, diff.max())
+
+
+def test_precision_rejects_unknown():
+    import pytest
+    with pytest.raises(ValueError, match="unknown precision"):
+        _editor(precision="fp8")

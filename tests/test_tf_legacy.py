@@ -288,3 +288,42 @@ def test_tf_progressive_architecture_rejected(tmp_path):
         pickle.dump((tf_G, tf_G, tf_G), f)
     with pytest.raises(NotImplementedError, match="progressive"):
         load_network_pkl(p)
+
+
+def test_ada_discriminator_namespace_import():
+    # NVIDIA torch-pickle D stubs carry ADA names (b{res}.conv0/conv1/skip,
+    # b4.conv/fc/out); d_params_from_ada + discriminator_from_stub must
+    # rebuild the identical pytree.
+    from stylemc_tpu.io.pickle_loader import PersistentStub
+
+    d_params = init_discriminator_params(jax.random.PRNGKey(2), size=16)
+    t = {
+        "b16.fromrgb.weight": np.asarray(d_params["stem"]["weight"]),
+        "b16.fromrgb.bias": np.asarray(d_params["stem"]["bias"]),
+    }
+    for i in range(4, 2, -1):
+        r = 2 ** i
+        bp = d_params[f"block{r}"]
+        t[f"b{r}.conv0.weight"] = np.asarray(bp["conv1"]["weight"])
+        t[f"b{r}.conv0.bias"] = np.asarray(bp["conv1"]["bias"])
+        t[f"b{r}.conv1.weight"] = np.asarray(bp["conv2"]["weight"])
+        t[f"b{r}.conv1.bias"] = np.asarray(bp["conv2"]["bias"])
+        t[f"b{r}.skip.weight"] = np.asarray(bp["skip_weight"])
+    t["b4.conv.weight"] = np.asarray(d_params["final_conv"]["weight"])
+    t["b4.conv.bias"] = np.asarray(d_params["final_conv"]["bias"])
+    t["b4.fc.weight"] = np.asarray(d_params["final_linear1"]["weight"])
+    t["b4.fc.bias"] = np.asarray(d_params["final_linear1"]["bias"])
+    t["b4.out.weight"] = np.asarray(d_params["final_linear2"]["weight"])
+    t["b4.out.bias"] = np.asarray(d_params["final_linear2"]["bias"])
+
+    stub = PersistentStub({"class_name": "Discriminator",
+                           "state": {"init_args": (), "init_kwargs": {}}})
+    stub.named_tensors = lambda: t  # size inferred from b16.fromrgb
+    size, d2 = discriminator_from_stub(stub)
+    assert size == 16
+    flat2 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(d2)}
+    for k, v in jax.tree_util.tree_leaves_with_path(d_params):
+        np.testing.assert_allclose(np.asarray(v, np.float32),
+                                   np.asarray(flat2[jax.tree_util.keystr(k)]),
+                                   rtol=0, atol=0, err_msg=jax.tree_util.keystr(k))
