@@ -151,6 +151,97 @@ def _seed_torchvision_stub():
         return MobileNetV2(**kwargs)
 
     tv_models.mobilenet_v2 = mobilenet_v2
+
+    # AlexNet / VGG16 `features` sequentials in the torchvision layout —
+    # the backbone contract criteria/lpips/networks.py taps into.
+    class _AlexNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(
+                nn.Conv2d(3, 64, 11, 4, 2), nn.ReLU(inplace=True),
+                nn.MaxPool2d(3, 2),
+                nn.Conv2d(64, 192, 5, 1, 2), nn.ReLU(inplace=True),
+                nn.MaxPool2d(3, 2),
+                nn.Conv2d(192, 384, 3, 1, 1), nn.ReLU(inplace=True),
+                nn.Conv2d(384, 256, 3, 1, 1), nn.ReLU(inplace=True),
+                nn.Conv2d(256, 256, 3, 1, 1), nn.ReLU(inplace=True),
+                nn.MaxPool2d(3, 2),
+            )
+
+    class _VGG16(nn.Module):
+        def __init__(self):
+            super().__init__()
+            layers, inp = [], 3
+            for c in [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                      512, 512, 512, "M", 512, 512, 512, "M"]:
+                if c == "M":
+                    layers.append(nn.MaxPool2d(2, 2))
+                else:
+                    layers += [nn.Conv2d(inp, c, 3, 1, 1),
+                               nn.ReLU(inplace=True)]
+                    inp = c
+            self.features = nn.Sequential(*layers)
+
+    def alexnet(pretrained=False, weights=None, **kw):
+        return _AlexNet()
+
+    def vgg16(pretrained=False, weights=None, **kw):
+        return _VGG16()
+
+    # torchvision-layout ResNet-50 (the MoCo backbone moco_loss.py:21 builds)
+    class _Bottleneck(nn.Module):
+        def __init__(self, inp, mid, stride=1):
+            super().__init__()
+            out = mid * 4
+            self.conv1 = nn.Conv2d(inp, mid, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(mid)
+            self.conv2 = nn.Conv2d(mid, mid, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(mid)
+            self.conv3 = nn.Conv2d(mid, out, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(out)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = None
+            if stride != 1 or inp != out:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(inp, out, 1, stride, bias=False),
+                    nn.BatchNorm2d(out))
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            return self.relu(y + idt)
+
+    class _ResNet50(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            for li, (mid, n, s) in enumerate(
+                    [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)], 1):
+                inp = 64 if li == 1 else mid * 2
+                blocks = [_Bottleneck(inp, mid, s)]
+                blocks += [_Bottleneck(mid * 4, mid) for _ in range(n - 1)]
+                setattr(self, f"layer{li}", nn.Sequential(*blocks))
+            self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+            self.fc = nn.Linear(2048, 1000)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for li in range(1, 5):
+                x = getattr(self, f"layer{li}")(x)
+            return self.fc(torch.flatten(self.avgpool(x), 1))
+
+    def resnet50(pretrained=False, weights=None, **kw):
+        return _ResNet50()
+
+    tv_models.alexnet = alexnet
+    tv_models.vgg16 = vgg16
+    tv_models.resnet50 = resnet50
+    tv_models.__dict__["resnet50"] = resnet50
     tv.models = tv_models
     tv.transforms = tv_transforms
     sys.modules["torchvision"] = tv
@@ -548,3 +639,97 @@ def test_rosinality_discriminator_vs_torch():
     got = np.asarray(discriminator_apply(
         d_params_from_rosinality(state, size), jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+# ------------------------------------------------------------------ (i) LPIPS
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("net_type", ["alex", "vgg"])
+def test_lpips_vs_torch(net_type):
+    """criteria/lpips (encoder4editing/criteria/lpips/{lpips,networks}.py):
+    z-score -> backbone taps -> unit-normalize -> squared diff -> 1x1 lin ->
+    spatial mean -> sum / N. Shared random backbone+lin weights; the
+    torchvision pretrained download is bypassed (weights=None)."""
+    _seed_torchvision_stub()
+    import torchvision.models as tvm
+
+    e4e_root = os.path.join(REF, "encoder4editing")
+    if e4e_root not in sys.path:
+        sys.path.append(e4e_root)
+
+    # bypass the pretrained-weight download inside networks.AlexNet/VGG16
+    torch.manual_seed(0)
+    orig_alex, orig_vgg = tvm.alexnet, tvm.vgg16
+    tvm.alexnet = lambda *a, **k: orig_alex(weights=None)
+    tvm.vgg16 = lambda *a, **k: orig_vgg(weights=None)
+    try:
+        from criteria.lpips.networks import get_network, LinLayers
+        net = get_network(net_type).eval()
+    finally:
+        tvm.alexnet, tvm.vgg16 = orig_alex, orig_vgg
+    lins = LinLayers(net.n_channels_list)
+    with torch.no_grad():
+        for lin in lins:
+            lin[1].weight.uniform_(0.0, 1.0)
+
+    x = torch.randn(2, 3, 64, 64) * 0.4
+    y = torch.randn(2, 3, 64, 64) * 0.4
+    with torch.no_grad():
+        fx, fy = net(x), net(y)
+        diff = [(a - b) ** 2 for a, b in zip(fx, fy)]
+        res = [l(d).mean((2, 3), True) for d, l in zip(diff, lins)]
+        ref = (torch.sum(torch.cat(res, 0)) / x.shape[0]).item()
+
+    from stylemc_tpu.losses.lpips import lpips_loss, lpips_params_from_torch
+
+    backbone_state = {f"features.{k}": v.numpy() for k, v in
+                      net.layers.state_dict().items()}
+    lin_state = {k: v.numpy() for k, v in lins.state_dict().items()}
+    params = lpips_params_from_torch(backbone_state, lin_state, net_type)
+    ours = float(lpips_loss(params, jnp.asarray(x.numpy()),
+                            jnp.asarray(y.numpy()), net_type))
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-6)
+
+
+# ------------------------------------------------------------------- (j) MoCo
+
+
+@pytest.mark.slow
+def test_moco_backbone_and_loss_vs_torch():
+    """criteria/moco_loss.py:21-66 — the torchvision resnet50 MoCo backbone
+    (fc removed), L2-normalized features, loss = mean(1 - <f(ŷ), f(y)>),
+    sim_improvement = mean(<f(ŷ),f(y)> - <f(y),f(x)>). Shared random
+    weights; 224px inputs so the (documented bicubic-vs-nearest) resize
+    deviation is not in play."""
+    _seed_torchvision_stub()
+    import torchvision.models as models
+
+    torch.manual_seed(0)
+    net = models.__dict__["resnet50"]()
+    net.eval()
+    backbone = torch.nn.Sequential(*list(net.children())[:-1])
+
+    def t_feats(x):
+        f = backbone(x).squeeze(-1).squeeze(-1)
+        return torch.nn.functional.normalize(f, dim=1)
+
+    x = torch.randn(2, 3, 224, 224) * 0.4
+    y = torch.randn(2, 3, 224, 224) * 0.4
+    y_hat = y + torch.randn_like(y) * 0.05
+    with torch.no_grad():
+        f_x, f_y, f_hat = t_feats(x), t_feats(y), t_feats(y_hat)
+        diff_target = (f_hat * f_y).sum(1)
+        diff_views = (f_y * f_x).sum(1)
+        ref_loss = float((1 - diff_target).mean())
+        ref_sim = float((diff_target - diff_views).mean())
+
+    from stylemc_tpu.losses.moco import moco_loss
+    from stylemc_tpu.models.resnet import resnet50_from_torch_state
+
+    state = {k: v.numpy() for k, v in net.state_dict().items()}
+    params = resnet50_from_torch_state(state)
+    loss, sim = moco_loss(params, jnp.asarray(y_hat.numpy()),
+                          jnp.asarray(y.numpy()), jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(sim), ref_sim, rtol=1e-4, atol=1e-5)
