@@ -54,6 +54,10 @@ import numpy as np
 @click.option("--perception_bf16", is_flag=True, default=False,
               help="Run CLIP/ArcFace in bfloat16 (the TPU analogue of the "
                    "reference's fp16 CLIP on CUDA)")
+@click.option("--remat", is_flag=True, default=False,
+              help="Rematerialize synthesis blocks in the backward pass "
+                   "(jax.checkpoint) — fits 1024px / large batches in HBM "
+                   "at the cost of one extra forward; identical numerics")
 @click.option("--steps_per_dispatch", type=int, default=1, show_default=True,
               help="Batch K optimizer steps into one device dispatch "
                    "(lax.scan) — amortizes dispatch latency; same math")
@@ -62,7 +66,7 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt,
          batch_size, learning_rate, n_epochs, resume, identity_loss_coef,
          landmarks_loss_coef, l2_reg_coef, clip_loss_coef, arcface_weights,
          allow_random_init, data_parallel, split_step, bf16,
-         perception_bf16, steps_per_dispatch):
+         perception_bf16, remat, steps_per_dispatch):
     from ..io import load_generator
     from ..train.find_direction import FindDirectionConfig, find_direction
     from ..utils.model_zoo import load_clip_models, load_arcface
@@ -76,9 +80,11 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt,
 
     print(f'Loading networks from "{network_pkl}"...')
     cfg, params = load_generator(network_pkl)
-    if bf16:
+    if bf16 or remat:
         import dataclasses as _dc
-        cfg = _dc.replace(cfg, low_precision_dtype="bfloat16")
+        cfg = _dc.replace(
+            cfg, remat=remat,
+            low_precision_dtype="bfloat16" if bf16 else cfg.low_precision_dtype)
     os.makedirs(outdir, exist_ok=True)
 
     fdc = FindDirectionConfig(

@@ -39,11 +39,17 @@ import numpy as np
 @click.option("--arcface_weights", type=str, default=None)
 @click.option("--allow_random_init", is_flag=True, default=False)
 @click.option("--data_parallel/--no-data_parallel", default=True)
+@click.option("--bf16", is_flag=True, default=False,
+              help="bfloat16 synthesis on the top num_fp16_res blocks")
+@click.option("--remat", is_flag=True, default=False,
+              help="Rematerialize synthesis blocks in the backward pass "
+                   "(jax.checkpoint) — the mapper default renders 512px, "
+                   "where activation memory dominates")
 def main(network_pkl, network2_pkl, noise_mode, s_input, outdir, text_prompt,
          negative_text_prompt, clip_type, clip_loss_type, resolution,
          batch_size, learning_rate, n_epochs, resume, mapper_neg_slope,
          identity_loss_coef, landmarks_loss_coef, l2_reg_coef, clip_loss_coef,
-         arcface_weights, allow_random_init, data_parallel):
+         arcface_weights, allow_random_init, data_parallel, bf16, remat):
     from ..io import load_generator, load_state_dict_numpy
     from ..models.mapper import params_from_torch_state, params_to_torch_state
     from ..train.latent_mapper import MapperTrainConfig, train_latent_mapper
@@ -58,10 +64,20 @@ def main(network_pkl, network2_pkl, noise_mode, s_input, outdir, text_prompt,
 
     print(f'Loading networks from "{network_pkl}"...')
     cfg, params = load_generator(network_pkl)
+    if bf16 or remat:
+        import dataclasses as _dc
+        cfg = _dc.replace(
+            cfg, remat=remat,
+            low_precision_dtype="bfloat16" if bf16 else cfg.low_precision_dtype)
     gen2 = None
     if network2_pkl and network2_pkl != network_pkl:
         print("using 2 generators")
         c2, p2 = load_generator(network2_pkl)
+        if bf16 or remat:
+            import dataclasses as _dc
+            c2 = _dc.replace(
+                c2, remat=remat,
+                low_precision_dtype="bfloat16" if bf16 else c2.low_precision_dtype)
         gen2 = (p2, c2)
     os.makedirs(outdir, exist_ok=True)
 

@@ -78,6 +78,12 @@ class GeneratorConfig:
     # 'float32' for parity; 'bfloat16' enables mixed precision on the top
     # num_fp16_res blocks (TPU-native analogue of the reference fp16 policy).
     low_precision_dtype: str = "float32"
+    # rematerialize each synthesis block under autodiff (jax.checkpoint):
+    # activations are recomputed in the backward pass instead of stored,
+    # cutting peak HBM from O(sum of block activations) to O(largest block)
+    # — enables 1024px / large-batch training on 16 GB chips at the cost of
+    # one extra forward. Identical numerics.
+    remat: bool = False
 
     @property
     def block_resolutions(self) -> List[int]:
@@ -352,15 +358,35 @@ def synthesis(params, cfg: GeneratorConfig, styles, until_k: Optional[int] = Non
             s_conv0 = styles[:, styles_idx, :shapes[0]]
             s_conv1 = styles[:, styles_idx + 1, :shapes[1]]
             s_torgb = styles[:, styles_idx + 2, :shapes[2]]
-            x = _synthesis_layer(bp["conv0"], x, s_conv0, filt, up=2, dtype=dtype,
-                                 noise_mode=noise_mode, noise_key=nk0,
-                                 conv_clamp=cfg.conv_clamp)
-            x = _synthesis_layer(bp["conv1"], x, s_conv1, filt, up=1, dtype=dtype,
-                                 noise_mode=noise_mode, noise_key=nk1,
-                                 conv_clamp=cfg.conv_clamp)
             styles_idx += 3
 
-            if blend_masks and res in blend_masks and xs_original is not None:
+            def upper_block(bp, x, img, s_conv0, s_conv1, s_torgb, nk0, nk1,
+                            dtype=dtype):
+                x = _synthesis_layer(bp["conv0"], x, s_conv0, filt, up=2,
+                                     dtype=dtype, noise_mode=noise_mode,
+                                     noise_key=nk0, conv_clamp=cfg.conv_clamp)
+                x = _synthesis_layer(bp["conv1"], x, s_conv1, filt, up=1,
+                                     dtype=dtype, noise_mode=noise_mode,
+                                     noise_key=nk1, conv_clamp=cfg.conv_clamp)
+                from ...ops.pallas.upfirdn2d_pallas import upsample2d_pallas
+                img = upsample2d_pallas(img, filt)
+                img = img + _torgb_layer(bp["torgb"], x, s_torgb,
+                                         conv_clamp=cfg.conv_clamp)
+                return x, img
+
+            blend_here = bool(blend_masks and res in blend_masks
+                              and xs_original is not None)
+            if cfg.remat and not blend_here:
+                # store only each block's (x, img) boundary; recompute the
+                # convs in the backward pass
+                upper_block = jax.checkpoint(upper_block)
+            if blend_here:
+                x = _synthesis_layer(bp["conv0"], x, s_conv0, filt, up=2,
+                                     dtype=dtype, noise_mode=noise_mode,
+                                     noise_key=nk0, conv_clamp=cfg.conv_clamp)
+                x = _synthesis_layer(bp["conv1"], x, s_conv1, filt, up=1,
+                                     dtype=dtype, noise_mode=noise_mode,
+                                     noise_key=nk1, conv_clamp=cfg.conv_clamp)
                 masks = blend_masks[res]
                 if not isinstance(masks, (list, tuple)):
                     masks = [masks]
@@ -369,9 +395,14 @@ def synthesis(params, cfg: GeneratorConfig, styles, until_k: Optional[int] = Non
                 for m in masks:
                     m = m.astype(x.dtype)
                     x = m * xs_original[k].astype(x.dtype) + (1 - m) * x
+            else:
+                x, img = upper_block(bp, x, img, s_conv0, s_conv1, s_torgb,
+                                     nk0, nk1)
+                xs.append(x)
+                continue
 
-        # skip-architecture ToRGB chain (Pallas polyphase kernel on TPU,
-        # XLA fallback elsewhere)
+        # fall-through for b4 and blended blocks: skip-architecture ToRGB
+        # chain (Pallas polyphase kernel on TPU, XLA fallback elsewhere)
         if img is not None:
             from ...ops.pallas.upfirdn2d_pallas import upsample2d_pallas
             img = upsample2d_pallas(img, filt)

@@ -230,3 +230,21 @@ def test_second_order_gradients_through_resample():
     gg = jax.grad(penalty)(x0)
     assert np.isfinite(np.asarray(gg)).all()
     assert np.abs(np.asarray(gg)).max() > 0
+
+
+def test_remat_matches_non_remat(small_gen):
+    # jax.checkpoint blocks: identical forward AND gradients, lower peak HBM
+    import dataclasses
+    cfg, params = small_gen
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    z = jax.random.normal(jax.random.PRNGKey(4), (2, cfg.z_dim))
+    styles = w_to_s(params, cfg, mapping(params, cfg, z))
+
+    def loss(c, s):
+        return jnp.sum(jnp.square(synthesis(params, c, s, noise_mode="const")))
+
+    l0, g0 = jax.value_and_grad(lambda s: loss(cfg, s))(styles)
+    l1, g1 = jax.value_and_grad(lambda s: loss(cfg_r, s))(styles)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               rtol=1e-5, atol=1e-6)
