@@ -109,15 +109,21 @@ def bench_synthesis(cfg, params, weights_tag):
 
     fn = jax.jit(lambda s: synthesis(params, cfg, s, noise_mode="const"))
     for _ in range(WARMUP):
-        fn(styles).block_until_ready()
+        np.asarray(fn(styles))  # data fetch: full warm + queue drain
 
-    # block on every output: async dispatch over tunneled devices can
-    # otherwise mis-time the stream
-    outs = []
+    # CHAINED timing: each call's input depends on the previous output, and
+    # the loop is drained by a scalar fetch. On the axon runtime
+    # block_until_ready() is launch-bound, not completion-bound — timing a
+    # list of independent calls under-waits and overstates throughput ~1.7x
+    # (measured: 60.7 ms/call list-blocked vs 118.9 ms/call chained vs
+    # 101.6 ms/call scalar-fetched, batch 64). The chain serializes real
+    # device execution; the 0·mean(img) add is negligible.
+    s = styles
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        outs.append(fn(styles))
-    jax.block_until_ready(outs)
+        img = fn(s)
+        s = s + 0 * jnp.mean(img)
+    float(jnp.sum(s))  # scalar drain
     dt = time.perf_counter() - t0
 
     imgs_per_sec = BATCH * ITERS / dt
