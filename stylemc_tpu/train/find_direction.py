@@ -433,8 +433,33 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
         model_params = {"gen": gen_params, "arc": arcface_params,
                         "clip": [b.params for b in bundles]}
 
+        # ONE dispatch per step: the batch gather (idx) and the cosine-LR
+        # update ride inside the jit. Separate eager gathers + a host-side
+        # hyperparam set cost ~4 extra device round-trips per step on
+        # high-latency (tunneled) links.
         @jax.jit
-        def _step(delta_s, opt_state, styles, id_f, clip_f, mp):
+        def _step(delta_s, opt_state, idx, lr, all_s, all_id, all_clip, mp):
+            opt_state = opt_state._replace(
+                hyperparams=dict(opt_state.hyperparams, learning_rate=lr))
+            styles = jnp.take(all_s, idx, axis=0)
+            id_f = jnp.take(all_id, idx, axis=0)
+            clip_f = tuple(jnp.take(c, idx, axis=0) for c in all_clip)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                delta_s, styles, id_f, clip_f, mp)
+            updates, opt_state = optimizer.update(grads, opt_state, delta_s)
+            delta_s = optax.apply_updates(delta_s, updates)
+            grad_norm = jnp.linalg.norm(grads.reshape(-1))
+            return delta_s, opt_state, loss, aux, grad_norm, styles
+
+        def step_idx(delta_s, opt_state, idx, lr):
+            return _step(delta_s, opt_state, jnp.asarray(idx, jnp.int32),
+                         jnp.float32(lr), styles_array, id_feats_orig_all,
+                         clip_feats_orig_all, model_params)
+
+        # mesh path keeps the pre-gathered signature: the batch is indexed
+        # on host and device_put with a NamedSharding before the call
+        @jax.jit
+        def _step_batch(delta_s, opt_state, styles, id_f, clip_f, mp):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 delta_s, styles, id_f, clip_f, mp)
             updates, opt_state = optimizer.update(grads, opt_state, delta_s)
@@ -443,8 +468,8 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
             return delta_s, opt_state, loss, aux, grad_norm
 
         def step(delta_s, opt_state, styles, id_f, clip_f):
-            return _step(delta_s, opt_state, styles, id_f, clip_f,
-                         model_params)
+            return _step_batch(delta_s, opt_state, styles, id_f, clip_f,
+                               model_params)
 
     multi_step = None
     if fdc.steps_per_dispatch > 1 and fdc.split_step:
@@ -539,26 +564,31 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
                                       float(lrs[j]), gns[j], styles_k[j],
                                       deltas[j])
     else:
+        fused = not fdc.split_step and data_sharding is None
         for epoch in range(fdc.n_epochs):
             for _ in range(num_batches):
                 cur_iteration += 1
                 lr = cosine_lr(fdc.learning_rate, cur_iteration,
                                total_iterations)
-                opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                    lr, jnp.float32)
-
                 idx = rng.randint(0, n_items, size=fdc.batch_size)
-                styles = styles_array[idx]
-                id_f = id_feats_orig_all[idx]
-                clip_f = tuple(c[idx] for c in clip_feats_orig_all)
-                if data_sharding is not None:
-                    styles = jax.device_put(styles, data_sharding)
-                    id_f = jax.device_put(id_f, data_sharding)
-                    clip_f = tuple(jax.device_put(c, data_sharding)
-                                   for c in clip_f)
 
-                delta_s, opt_state, loss, aux, grad_norm = step(
-                    delta_s, opt_state, styles, id_f, clip_f)
+                if fused:
+                    # single dispatch: gather + LR update inside the jit
+                    delta_s, opt_state, loss, aux, grad_norm, styles = \
+                        step_idx(delta_s, opt_state, idx, lr)
+                else:
+                    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                        lr, jnp.float32)
+                    styles = styles_array[idx]
+                    id_f = id_feats_orig_all[idx]
+                    clip_f = tuple(c[idx] for c in clip_feats_orig_all)
+                    if data_sharding is not None:
+                        styles = jax.device_put(styles, data_sharding)
+                        id_f = jax.device_put(id_f, data_sharding)
+                        clip_f = tuple(jax.device_put(c, data_sharding)
+                                       for c in clip_f)
+                    delta_s, opt_state, loss, aux, grad_norm = step(
+                        delta_s, opt_state, styles, id_f, clip_f)
 
                 if callback is not None and (
                         cur_iteration % 10 == 0

@@ -86,6 +86,23 @@ def train_latent_mapper(gen_params, gen_cfg: GeneratorConfig, styles_array,
                     "arc": arcface_params,
                     "clip": [b.params for b in bundles]}
 
+    # ONE dispatch per step (cf. find_direction): batch gather + cosine-LR
+    # update inside the jit; the mesh path keeps the pre-gathered signature.
+    @jax.jit
+    def _step_idx(mp, opt_state, idx, lr, all_s, all_id, all_clip, frozen):
+        opt_state = opt_state._replace(
+            hyperparams=dict(opt_state.hyperparams, learning_rate=lr))
+        styles = jnp.take(all_s, idx, axis=0)
+        id_f = jnp.take(all_id, idx, axis=0)
+        clip_f = tuple(jnp.take(c, idx, axis=0) for c in all_clip)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            mp, styles, id_f, clip_f, frozen)
+        updates, opt_state = optimizer.update(grads, opt_state, mp)
+        mp = optax.apply_updates(mp, updates)
+        grad_norm = sum(jnp.linalg.norm(g.reshape(-1))
+                        for g in jax.tree_util.tree_leaves(grads))
+        return mp, opt_state, loss, aux, grad_norm
+
     @jax.jit
     def _step(mp, opt_state, styles, id_f, clip_f, frozen):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -107,16 +124,27 @@ def train_latent_mapper(gen_params, gen_cfg: GeneratorConfig, styles_array,
         for _ in range(num_batches):
             cur_iteration += 1
             lr = cosine_lr(mtc.learning_rate, cur_iteration, total_iterations)
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-
             idx = rng.randint(0, n_items, size=mtc.batch_size)
+
+            if data_sharding is None:
+                mapper_params, opt_state, loss, aux, grad_norm = _step_idx(
+                    mapper_params, opt_state, jnp.asarray(idx, jnp.int32),
+                    jnp.float32(lr), styles_array, id_feats_orig_all,
+                    clip_feats_orig_all, model_params)
+                history.append(loss)
+                if callback is not None and cur_iteration % 10 == 0:
+                    callback(cur_iteration, float(loss),
+                             {k: float(v) for k, v in aux.items()},
+                             lr, float(grad_norm), mapper_params)
+                continue
+
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
             styles = styles_array[idx]
             id_f = id_feats_orig_all[idx]
             clip_f = tuple(c[idx] for c in clip_feats_orig_all)
-            if data_sharding is not None:
-                styles = jax.device_put(styles, data_sharding)
-                id_f = jax.device_put(id_f, data_sharding)
-                clip_f = tuple(jax.device_put(c, data_sharding) for c in clip_f)
+            styles = jax.device_put(styles, data_sharding)
+            id_f = jax.device_put(id_f, data_sharding)
+            clip_f = tuple(jax.device_put(c, data_sharding) for c in clip_f)
 
             mapper_params, opt_state, loss, aux, grad_norm = step(
                 mapper_params, opt_state, styles, id_f, clip_f)
