@@ -72,7 +72,7 @@ def main(images_dir, s_input, prompts, keep_class, out_file, batch,
            "paths": np.asarray([paths[i] for i in keep_idx])}
     if s_input:
         styles = np.load(s_input)["s"]
-        out["s"] = styles[np.asarray(keep_idx)]
+        out["s"] = styles[np.asarray(keep_idx, np.int64)]
     os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
     np.savez(out_file, **out)
     print(f"saved {out_file}")

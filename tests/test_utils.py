@@ -117,3 +117,74 @@ def test_misc_helpers():
     with pytest.raises(AssertionError):
         assert_shape(np.zeros((2, 3)), [None, 4])
     assert unravel_index(5, (2, 3)) == (1, 2)
+
+
+# ------------------------------------------------------------------ RunLogger
+
+def test_run_logger_jsonl_backend(tmp_path):
+    import json
+    from stylemc_tpu.utils.logging import RunLogger
+
+    lg = RunLogger("proj", config={"a": 1}, outdir=str(tmp_path),
+                   use_wandb=False)
+    lg.log({"loss": 0.5, "note": "txt"}, step=1)
+    lg.log({"loss": np.float32(0.25),
+            "grid": np.zeros((8, 8, 3), np.uint8)}, step=2)
+    lg.finish()
+
+    lines = [json.loads(l) for l in
+             open(tmp_path / "wandb_log.jsonl").read().splitlines()]
+    assert lines[0]["event"] == "init" and lines[0]["config"] == {"a": 1}
+    assert lines[1] == {"step": 1, "loss": 0.5, "note": "txt"}
+    assert lines[2]["loss"] == 0.25
+    assert (tmp_path / "images" / "grid_000002.png").exists()
+
+
+# ------------------------------------------------------------ clip_filter CLI
+
+def test_clip_filter_cli_partitions_dataset(tmp_path, monkeypatch):
+    """keep_class=0 and keep_class=1 runs must partition the image set
+    (argmax over two prompts is total), and the styles subset must align
+    with the kept indices (male2female.ipynb cells 7-10 contract)."""
+    from click.testing import CliRunner
+    from PIL import Image
+
+    from stylemc_tpu.models.clip.model import CLIPConfig, init_clip_params
+    from stylemc_tpu.models.clip.tokenizer import FallbackTokenizer
+    from stylemc_tpu.utils import model_zoo
+    from stylemc_tpu.cli.clip_filter import main as clip_filter
+
+    tiny = CLIPConfig(embed_dim=16, image_resolution=32, vision_layers=1,
+                      vision_width=64, vision_patch_size=16,
+                      transformer_width=32, transformer_heads=2,
+                      transformer_layers=1)
+    tiny_params = init_clip_params(jax.random.PRNGKey(0), tiny)
+    monkeypatch.setattr(
+        model_zoo, "load_clip_models",
+        lambda kind, allow_random_init=False: (
+            {"ViT-B/32": (tiny, tiny_params)}, FallbackTokenizer()))
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    n = 6
+    for i in range(n):
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)
+                        ).save(img_dir / f"im_{i:03d}.png")
+    styles = rng.randn(n, 26, 512).astype(np.float32)
+    np.savez(tmp_path / "s.npz", s=styles)
+
+    kept = {}
+    for cls in (0, 1):
+        out = tmp_path / f"out{cls}.npz"
+        res = CliRunner().invoke(clip_filter, [
+            "--images_dir", str(img_dir), "--s_input", str(tmp_path / "s.npz"),
+            "--prompts", "a photo of a man|a photo of a woman",
+            "--keep_class", str(cls), "--out_file", str(out), "--batch", "4"])
+        assert res.exit_code == 0, res.output
+        data = np.load(out, allow_pickle=True)
+        kept[cls] = list(data["indices"])
+        np.testing.assert_array_equal(data["s"], styles[data["indices"]])
+        assert len(data["paths"]) == len(data["indices"])
+
+    assert sorted(kept[0] + kept[1]) == list(range(n))
