@@ -733,3 +733,121 @@ def test_moco_backbone_and_loss_vs_torch():
                           jnp.asarray(y.numpy()), jnp.asarray(x.numpy()))
     np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(float(sim), ref_sim, rtol=1e-4, atol=1e-5)
+
+
+# ----------------------------------------------------------- (k) e4e encoders
+
+
+def _seed_plain_rosinality_op_stub():
+    """Same CUDA-op stub as _seed_rosinality_op_stub, registered under the
+    plain 'models.stylegan2.op' name the e4e-internal imports use when
+    /root/reference/encoder4editing itself is on sys.path."""
+    name = "models.stylegan2.op"
+    if name in sys.modules:
+        return
+    _seed_rosinality_op_stub()
+    sys.modules[name] = sys.modules["encoder4editing.models.stylegan2.op"]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("which", ["gradual", "e4e_inference", "e4e_stage3"])
+def test_e4e_encoders_vs_torch(which):
+    """models/encoders/psp_encoders.py:58-201 — GradualStyleEncoder (FPN
+    taps at body 6/20/23, 3 coarse + 4 middle + N fine heads) and
+    Encoder4Editing (w0 broadcast + progressive deltas) with shared random
+    weights through encoder_params_from_torch_state."""
+    e4e_root = os.path.join(REF, "encoder4editing")
+    if e4e_root not in sys.path:
+        sys.path.append(e4e_root)
+    _seed_plain_rosinality_op_stub()
+    from models.encoders.psp_encoders import (GradualStyleEncoder,
+                                              Encoder4Editing,
+                                              ProgressiveStage)
+
+    class Opts:
+        stylegan_size = 256
+
+    torch.manual_seed(0)
+    if which == "gradual":
+        net = GradualStyleEncoder(50, "ir_se", Opts()).eval()
+    else:
+        net = Encoder4Editing(50, "ir_se", Opts()).eval()
+        if which == "e4e_stage3":
+            net.progressive_stage = ProgressiveStage(3)
+
+    x = torch.randn(2, 3, 256, 256) * 0.5
+    with torch.no_grad():
+        ref = net(x).numpy()
+
+    from stylemc_tpu.models.e4e.encoders import (
+        encoder_params_from_torch_state, gradual_style_encoder,
+        encoder4editing)
+
+    state = {k: v.numpy() for k, v in net.state_dict().items()}
+    params = encoder_params_from_torch_state(state, stylegan_size=256)
+    xj = jnp.asarray(x.numpy())
+    if which == "gradual":
+        ours = gradual_style_encoder(params, xj, stylegan_size=256)
+    elif which == "e4e_inference":
+        ours = encoder4editing(params, xj, stylegan_size=256)
+    else:
+        ours = encoder4editing(params, xj, stylegan_size=256,
+                               progressive_stage=3)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=5e-5)
+
+
+# --------------------------------------------------------------- (l) Ranger
+
+
+@pytest.mark.slow
+def test_ranger_trajectory_vs_torch():
+    """training/ranger.py:29-163 (RAdam + Lookahead + gradient
+    centralization): identical 25-step trajectories on a shared
+    deterministic quadratic, torch Ranger vs our optax ranger. Covers the
+    N_sma threshold switch (variance-rectified vs unrectified steps), the
+    k=6 lookahead pulls, and GC on the matrix parameter."""
+    e4e_root = os.path.join(REF, "encoder4editing")
+    if e4e_root not in sys.path:
+        sys.path.append(e4e_root)
+    from training.ranger import Ranger
+
+    import optax
+    from stylemc_tpu.train.ranger import ranger as our_ranger
+
+    w0 = np.random.RandomState(0).randn(4, 3).astype(np.float32)
+    b0 = np.random.RandomState(1).randn(3).astype(np.float32)
+    tgt_w = np.ones((4, 3), np.float32)
+    tgt_b = -np.ones((3,), np.float32)
+
+    # torch side
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    tb = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+    opt = Ranger([tw, tb], lr=0.05)
+    for _ in range(25):
+        opt.zero_grad()
+        loss = ((tw - torch.from_numpy(tgt_w)) ** 2).sum() + \
+               ((tb - torch.from_numpy(tgt_b)) ** 2).sum()
+        loss.backward()
+        opt.step()
+
+    # jax side
+    params = {"w": jnp.asarray(w0), "b": jnp.asarray(b0)}
+    opt_j = our_ranger(0.05)
+    state = opt_j.init(params)
+
+    def loss_fn(p):
+        return jnp.sum(jnp.square(p["w"] - tgt_w)) + \
+            jnp.sum(jnp.square(p["b"] - tgt_b))
+
+    for _ in range(25):
+        grads = jax.grad(loss_fn)(params)
+        updates, state = opt_j.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+
+    # 25 compounding fp32 steps accumulate ~1e-4 of reassociation noise
+    # (torch CPU vs XLA orderings); a math mismatch (wrong N_sma branch,
+    # missing GC, wrong lookahead cadence) diverges by orders of magnitude
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=0, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(params["b"]),
+                               tb.detach().numpy(), rtol=0, atol=3e-4)
