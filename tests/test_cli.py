@@ -177,3 +177,20 @@ def test_power_sweep_video_mode(pkl_path, tmp_path):
     from PIL import Image
     gif = Image.open(os.path.join(outdir, gifs[0]))
     assert getattr(gif, "n_frames", 1) == 4
+
+
+def test_all_clis_help():
+    """Every registered CLI must import and render --help (catches broken
+    imports / decorator signatures without running any model code)."""
+    import importlib
+    from click.testing import CliRunner
+
+    names = ["generate_w", "w_s_converter", "find_direction",
+             "train_latent_mapper", "generate_fromS", "run_deeplab",
+             "align_faces", "infer_e4e", "train_e4e", "legacy",
+             "calc_metrics", "calc_losses_on_images", "clip_filter",
+             "compare_directions", "serve"]
+    for name in names:
+        mod = importlib.import_module(f"stylemc_tpu.cli.{name}")
+        res = CliRunner().invoke(mod.main, ["--help"])
+        assert res.exit_code == 0, f"{name}: {res.output}"
