@@ -232,6 +232,12 @@ def bench_find_direction(cfg, params, weights_tag):
         "total_incl_precompute_sec": round(total, 2),
         "weights": weights_tag,
     }
+    # steady-state step time excludes the one-time per-call cost (tracing +
+    # compile-cache load of the step graph) folded into the wall-clock;
+    # 140 ms/step is the probe-bracketed clean-window reference value
+    if "steady_ms_per_step" in info:
+        out["steady_ms_per_step"] = round(info["steady_ms_per_step"], 1)
+        out["first_step_s"] = round(info["first_step_time"], 2)
     if mfu is not None:
         out["mfu_vs_bf16_peak"] = round(mfu, 4)
     print(json.dumps(out))

@@ -27,6 +27,12 @@ import numpy as np
 @click.option("--outdir", type=str, required=True)
 @click.option("--text_prompt", type=str, required=True,
               default="a photo of a face of a feminine woman with no makeup")
+@click.option("--text_prompts", type=str, default=None,
+              help="'|'-separated prompt sweep: the jitted step is built "
+                   "ONCE (DirectionEngine) and every prompt after the first "
+                   "runs at steady-state step time; one "
+                   "direction_<prompt>.npz per prompt. Overrides "
+                   "--text_prompt. Single-chip path (no --data_parallel).")
 @click.option("--negative_text_prompt", type=str, required=False,
               default="a photo of a face of a masculine man")
 @click.option("--clip_type", type=str, default="double", show_default=True)
@@ -61,7 +67,7 @@ import numpy as np
 @click.option("--steps_per_dispatch", type=int, default=1, show_default=True,
               help="Batch K optimizer steps into one device dispatch "
                    "(lax.scan) — amortizes dispatch latency; same math")
-def main(network_pkl, noise_mode, s_input, outdir, text_prompt,
+def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
          negative_text_prompt, clip_type, clip_loss_type, resolution,
          batch_size, learning_rate, n_epochs, resume, identity_loss_coef,
          landmarks_loss_coef, l2_reg_coef, clip_loss_coef, arcface_weights,
@@ -139,6 +145,25 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt,
         except FileNotFoundError:
             print("landmark model weights unavailable — landmarks metric "
                   "reported as 0 (it carries no gradient either way)")
+
+    if text_prompts:
+        from ..train.find_direction import DirectionEngine
+
+        engine = DirectionEngine(params, cfg, styles_array, clip_models,
+                                 arcface_params, fdc, tokenizer=tokenizer)
+        for prompt in [p.strip() for p in text_prompts.split("|")]:
+            tp = time.time()
+            direction, info = engine.optimize(
+                prompt, resume_direction=resume_direction)
+            tag = prompt.replace(" ", "_")
+            np.savez(f"{outdir}/direction_{tag}.npz",
+                     s=np.asarray(direction))
+            steady = info.get("steady_ms_per_step")
+            print(f"{prompt!r}: {time.time() - tp:.1f} s"
+                  + (f" ({steady:.0f} ms/step steady)" if steady else ""))
+        print("time passed:", time.time() - t1)
+        logger.finish()
+        return
 
     direction, info = find_direction(
         params, cfg, styles_array, clip_models, arcface_params, fdc,

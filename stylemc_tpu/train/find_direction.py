@@ -209,15 +209,22 @@ def precompute_original_features(gen_params, gen_cfg: GeneratorConfig,
 
 
 def _clip_term_from_img(bundle: CLIPBundle, clip_loss_type: str, img, orig_f,
-                        clip_params=None, dtype: str = "float32"):
+                        clip_params=None, dtype: str = "float32",
+                        text_override: Optional[Dict] = None):
     """One bundle's CLIP alignment term given the rendered image and the
-    cached original-image features (un-normalized encode_image outputs)."""
+    cached original-image features (un-normalized encode_image outputs).
+
+    text_override routes the prompt-derived anchors as runtime values (keys
+    'text_direction' / 'target_direction' / 'target_text_features') instead
+    of the bundle's closed-over constants — this is what lets
+    `DirectionEngine` swap prompts without retracing."""
     cp = clip_params if clip_params is not None else bundle.params
     f_tgt = _clip_image_features(bundle, img, clip_loss_type, clip_params=cp,
                                  dtype=dtype)
     if clip_loss_type == "nada_global":
         f_n = f_tgt / jnp.linalg.norm(f_tgt, axis=-1, keepdims=True)
-        t_n = bundle.nada_anchors.target_text_features
+        t_n = text_override["target_text_features"] if text_override else \
+            bundle.nada_anchors.target_text_features
         logit_scale = jnp.exp(cp["logit_scale"])
         return jnp.mean(1.0 - logit_scale * (f_n @ t_n.T) / 100.0)
     if clip_loss_type == "nada":
@@ -226,7 +233,9 @@ def _clip_term_from_img(bundle: CLIPBundle, clip_loss_type: str, img, orig_f,
         edit = f_t - f_src
         edit = edit / jnp.maximum(
             jnp.linalg.norm(edit, axis=-1, keepdims=True), 1e-6)
-        cos = jnp.sum(edit * bundle.nada_anchors.target_direction, axis=-1)
+        tgt = text_override["target_direction"] if text_override else \
+            bundle.nada_anchors.target_direction
+        cos = jnp.sum(edit * tgt, axis=-1)
         return jnp.mean(1.0 - cos)
     # StyleMC: normalize(E(tgt) − E(src)) vs text direction. Norm clamped:
     # at step 1 a zero Δs renders the original exactly (const noise,
@@ -234,7 +243,8 @@ def _clip_term_from_img(bundle: CLIPBundle, clip_loss_type: str, img, orig_f,
     edit = f_tgt - orig_f
     edit = edit / jnp.maximum(
         jnp.linalg.norm(edit, axis=-1, keepdims=True), 1e-6)
-    td = bundle.text_direction
+    td = text_override["text_direction"] if text_override else \
+        bundle.text_direction
     cos = jnp.sum(edit * td.astype(edit.dtype), axis=-1)
     return jnp.mean(1.0 - cos)
 
@@ -262,10 +272,12 @@ def make_loss_fn(gen_params, gen_cfg: GeneratorConfig,
             return styles + direction
 
     def loss_fn(trainable, styles, id_feats_orig, clip_feats_orig,
-                model_params=None):
+                model_params=None, text_dirs=None):
         """model_params ({'gen','arc','clip': [...]}) routes the frozen
         weights as jit ARGUMENTS — closures would embed hundreds of MB of
-        literals in the HLO (fatal for remote-compile toolchains)."""
+        literals in the HLO (fatal for remote-compile toolchains).
+        text_dirs (per-bundle override dicts) likewise routes the
+        prompt-derived text anchors as arguments (DirectionEngine)."""
         mp_gen = model_params["gen"] if model_params else e_params
         mp_arc = model_params["arc"] if model_params else arcface_params
         mp_clip = model_params["clip"] if model_params else             [b.params for b in bundles]
@@ -284,10 +296,12 @@ def make_loss_fn(gen_params, gen_cfg: GeneratorConfig,
 
         # --- CLIP alignment loss
         clip_loss = 0.0
-        for b, orig_f, cp in zip(bundles, clip_feats_orig, mp_clip):
+        for i, (b, orig_f, cp) in enumerate(zip(bundles, clip_feats_orig,
+                                                mp_clip)):
             clip_loss = clip_loss + b.weight * _clip_term_from_img(
                 b, fdc.clip_loss_type, img, orig_f, clip_params=cp,
-                dtype=fdc.perception_dtype)
+                dtype=fdc.perception_dtype,
+                text_override=text_dirs[i] if text_dirs else None)
         clip_loss = clip_loss * fdc.clip_loss_coef
 
         # --- L2 manipulation regularizer (find_direction.py:190-191)
@@ -505,6 +519,7 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
     rng = np.random.RandomState(fdc.seed)
     cur_iteration = 0
     t0 = time.time()
+    first_step_done = None
     history = []
 
     def fire_callback(it, loss_s, aux_s, lr, gn_s, styles_last, delta):
@@ -590,6 +605,13 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
                     delta_s, opt_state, loss, aux, grad_norm = step(
                         delta_s, opt_state, styles, id_f, clip_f)
 
+                if cur_iteration == 1:
+                    # drain once: separates the one-time per-call cost
+                    # (tracing + compile/cache-load of the step graph) from
+                    # steady-state step time in the reported timings
+                    float(loss)
+                    first_step_done = time.time()  # noqa: F841 (read at return)
+
                 if callback is not None and (
                         cur_iteration % 10 == 0
                         or cur_iteration == total_iterations):
@@ -599,13 +621,23 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
                 history.append(loss)
 
     direction = assemble_direction(delta_s)
-    jax.block_until_ready(direction)
-    elapsed = time.time() - t0
+    # drain BEFORE stopping the clock: block_until_ready can be launch-bound
+    # on some runtimes; materializing the loss history forces completion of
+    # every step
     flat_history = np.concatenate(
         [np.atleast_1d(np.asarray(h)) for h in history]) if history else \
         np.zeros((0,), np.float32)
-    return direction, {"history": [float(x) for x in flat_history],
-                       "time": elapsed, "iterations": cur_iteration}
+    jax.block_until_ready(direction)
+    elapsed = time.time() - t0
+    info = {"history": [float(x) for x in flat_history],
+            "time": elapsed, "iterations": cur_iteration}
+    if first_step_done is not None and cur_iteration > 1:
+        first_done = first_step_done
+        # one-time cost (trace + compile/cache-load) vs steady-state steps
+        info["first_step_time"] = first_done - t0
+        info["steady_ms_per_step"] = (
+            1e3 * (elapsed - (first_done - t0)) / (cur_iteration - 1))
+    return direction, info
 
 
 def assemble_direction(delta_s) -> jnp.ndarray:
@@ -643,3 +675,151 @@ def make_landmarks_metric_fn(gen_params, gen_cfg: GeneratorConfig,
         return float(landmarks_loss(jnp.asarray(lm1), jnp.asarray(lm2)))
 
     return metric
+
+
+class DirectionEngine:
+    """Prompt-sweep direction optimizer: build the jitted step ONCE, swap
+    prompts as runtime arguments.
+
+    A fresh `find_direction` call pays a large one-time cost per invocation
+    (tracing + compile-cache load of the monolithic step graph — tens of
+    seconds on remote-compile toolchains) because its jits are rebuilt each
+    call. The engine holds the traced step across calls and routes the
+    prompt-derived CLIP text anchors as arguments, so a sweep over N prompts
+    (the male2female.ipynb workflow trains several attribute directions)
+    pays the cost once and runs every subsequent prompt at steady-state
+    step time. Numerics are identical to `find_direction` (tested).
+
+    Usage:
+        eng = DirectionEngine(params, cfg, styles, clip_models, arcface, fdc)
+        d1, info1 = eng.optimize("a face with a big smile")
+        d2, info2 = eng.optimize("an old face")   # no retrace/recompile
+    """
+
+    def __init__(self, gen_params, gen_cfg: GeneratorConfig, styles_array,
+                 clip_models: Dict[str, Tuple], arcface_params,
+                 fdc: FindDirectionConfig, tokenizer=None):
+        self.fdc = fdc
+        self.tokenizer = tokenizer
+        self.styles_array = jnp.asarray(styles_array, jnp.float32)
+        self.n_items = self.styles_array.shape[0]
+
+        # prompt-less bundles: cfg/params/weight only — anchors arrive at
+        # optimize() time as step arguments
+        if fdc.clip_type == "double":
+            names_weights = [("ViT-B/32", 1.0), ("ViT-B/16", 0.5)]
+        elif fdc.clip_type == "large":
+            names_weights = [("ViT-B/16", 1.0)]
+        else:
+            names_weights = [("ViT-B/32", 1.0)]
+        self.bundles = [CLIPBundle(cfg=clip_models[n][0],
+                                   params=clip_models[n][1], weight=w)
+                        for n, w in names_weights]
+        self.clip_models = clip_models
+
+        self.id_feats, self.clip_feats = precompute_original_features(
+            gen_params, gen_cfg, self.styles_array, self.bundles,
+            arcface_params, fdc)
+        loss_fn = make_loss_fn(gen_params, gen_cfg, self.bundles,
+                               arcface_params, fdc)
+        self.optimizer = optax.inject_hyperparams(optax.sgd)(
+            learning_rate=fdc.learning_rate)
+        self.model_params = {"gen": gen_params, "arc": arcface_params,
+                             "clip": [b.params for b in self.bundles]}
+
+        optimizer = self.optimizer
+
+        @jax.jit
+        def _step(delta_s, opt_state, idx, lr, all_s, all_id, all_clip, mp,
+                  text_dirs):
+            opt_state = opt_state._replace(
+                hyperparams=dict(opt_state.hyperparams, learning_rate=lr))
+            styles = jnp.take(all_s, idx, axis=0)
+            id_f = jnp.take(all_id, idx, axis=0)
+            clip_f = tuple(jnp.take(c, idx, axis=0) for c in all_clip)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                delta_s, styles, id_f, clip_f, mp, text_dirs)
+            updates, opt_state = optimizer.update(grads, opt_state, delta_s)
+            delta_s = optax.apply_updates(delta_s, updates)
+            return delta_s, opt_state, loss, aux
+
+        self._step = _step
+
+    def _text_dirs(self, text_prompt: str, negative_text_prompt: str):
+        from ..models.clip import tokenize
+
+        dirs = []
+        for b in self.bundles:
+            if self.fdc.clip_loss_type in ("nada", "nada_global"):
+                a = NADATextAnchors.create(b.params, b.cfg,
+                                           negative_text_prompt, text_prompt,
+                                           tokenizer=self.tokenizer)
+                dirs.append({"target_direction": a.target_direction,
+                             "target_text_features": a.target_text_features})
+            else:
+                t_pos = jnp.asarray(tokenize([text_prompt],
+                                             tokenizer=self.tokenizer))
+                t_neg = jnp.asarray(tokenize([negative_text_prompt],
+                                             tokenizer=self.tokenizer))
+                dirs.append({"text_direction": make_text_direction(
+                    b.params, b.cfg, t_pos, t_neg)})
+        return tuple(dirs)
+
+    def optimize(self, text_prompt: str,
+                 negative_text_prompt: Optional[str] = None,
+                 resume_direction: Optional[np.ndarray] = None,
+                 callback: Optional[Callable] = None):
+        """Returns (direction [1, 26, 512], info) — same contract as
+        `find_direction`, same RNG stream (fdc.seed)."""
+        fdc = self.fdc
+        neg = negative_text_prompt if negative_text_prompt is not None \
+            else fdc.negative_text_prompt
+        text_dirs = self._text_dirs(text_prompt, neg)
+
+        if resume_direction is not None:
+            delta_s = jnp.asarray(resume_direction, jnp.float32)[:, TRAINABLE]
+        else:
+            delta_s = jax.random.normal(
+                jax.random.PRNGKey(fdc.seed),
+                (1, len(TRAINABLE), STYLE_DIM), jnp.float32) * 1e-3
+        opt_state = self.optimizer.init(delta_s)
+
+        num_batches = math.ceil(self.n_items / fdc.batch_size)
+        total_iterations = num_batches * fdc.n_epochs
+        rng = np.random.RandomState(fdc.seed)
+        t0 = time.time()
+        first_step_done = None
+        history = []
+        cur_iteration = 0
+        for _ in range(fdc.n_epochs):
+            for _ in range(num_batches):
+                cur_iteration += 1
+                lr = cosine_lr(fdc.learning_rate, cur_iteration,
+                               total_iterations)
+                idx = rng.randint(0, self.n_items, size=fdc.batch_size)
+                delta_s, opt_state, loss, aux = self._step(
+                    delta_s, opt_state, jnp.asarray(idx, jnp.int32),
+                    jnp.float32(lr), self.styles_array, self.id_feats,
+                    self.clip_feats, self.model_params, text_dirs)
+                if cur_iteration == 1:
+                    float(loss)
+                    first_step_done = time.time()
+                if callback is not None and cur_iteration % 10 == 0:
+                    callback(cur_iteration, float(loss),
+                             {k: float(v) for k, v in aux.items()}, lr,
+                             assemble_direction(delta_s))
+                history.append(loss)
+
+        direction = assemble_direction(delta_s)
+        flat = [float(x) for x in np.asarray(jnp.stack(history))] \
+            if history else []
+        jax.block_until_ready(direction)
+        elapsed = time.time() - t0
+        info = {"history": flat, "time": elapsed,
+                "iterations": cur_iteration}
+        if first_step_done is not None and cur_iteration > 1:
+            info["first_step_time"] = first_step_done - t0
+            info["steady_ms_per_step"] = (
+                1e3 * (elapsed - (first_step_done - t0))
+                / (cur_iteration - 1))
+        return direction, info

@@ -245,3 +245,49 @@ def test_find_direction_steps_per_dispatch_matches_unrolled(setup):
                                np.asarray(i1["history"]), rtol=1e-3)
     np.testing.assert_allclose(np.asarray(d3), np.asarray(d1),
                                rtol=5e-2, atol=1e-3)
+
+
+def test_direction_engine_matches_find_direction(setup):
+    gen_cfg, gen_params, clip_models, arcface, styles = setup
+    from stylemc_tpu.train.find_direction import DirectionEngine
+
+    fdc = FindDirectionConfig(resolution=32, batch_size=2, n_epochs=1,
+                              clip_type="small", arcface_layout=TINY_ARCFACE_LAYOUT,
+                              text_prompt="a smiling face",
+                              negative_text_prompt="a face")
+    d_ref, _ = find_direction(gen_params, gen_cfg, styles, clip_models,
+                              arcface, fdc, tokenizer=FallbackTokenizer())
+
+    eng = DirectionEngine(gen_params, gen_cfg, styles, clip_models, arcface,
+                          fdc, tokenizer=FallbackTokenizer())
+    d_eng, info = eng.optimize("a smiling face")
+    # anchors as runtime args vs closed-over constants change XLA
+    # constant-folding; fp32 noise only
+    np.testing.assert_allclose(np.asarray(d_eng), np.asarray(d_ref),
+                               rtol=1e-4, atol=1e-5)
+    assert info["iterations"] >= 1
+
+    # second prompt reuses the SAME traced step (different anchors only)
+    import jax as _jax
+    traces_before = eng._step._cache_size()
+    d2, _ = eng.optimize("an old face")
+    assert eng._step._cache_size() == traces_before, "retraced on prompt swap"
+    assert not np.allclose(np.asarray(d2), np.asarray(d_eng))
+
+
+def test_direction_engine_nada(setup):
+    gen_cfg, gen_params, clip_models, arcface, styles = setup
+    from stylemc_tpu.train.find_direction import DirectionEngine
+
+    fdc = FindDirectionConfig(resolution=32, batch_size=2, n_epochs=1,
+                              clip_type="small", arcface_layout=TINY_ARCFACE_LAYOUT,
+                              clip_loss_type="nada",
+                              text_prompt="a smiling face",
+                              negative_text_prompt="a face")
+    d_ref, _ = find_direction(gen_params, gen_cfg, styles, clip_models,
+                              arcface, fdc, tokenizer=FallbackTokenizer())
+    eng = DirectionEngine(gen_params, gen_cfg, styles, clip_models, arcface,
+                          fdc, tokenizer=FallbackTokenizer())
+    d_eng, _ = eng.optimize("a smiling face")
+    np.testing.assert_allclose(np.asarray(d_eng), np.asarray(d_ref),
+                               rtol=1e-4, atol=1e-5)
