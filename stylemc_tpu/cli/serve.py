@@ -51,11 +51,13 @@ class EditService:
         self.requests = 0
         self.errors = 0
 
-    def edit(self, seeds, power: float, pairs: bool) -> np.ndarray:
+    def edit(self, seeds, power: float, pairs: bool,
+             direction_name=None) -> np.ndarray:
         t0 = time.perf_counter()
         with self._lock:
             imgs = self.editor.edit_seeds(seeds, change_power=power,
-                                          pairs=pairs)
+                                          pairs=pairs,
+                                          direction_name=direction_name)
         with self._lock:
             self._latencies.append(time.perf_counter() - t0)
             self.requests += 1
@@ -88,6 +90,10 @@ def make_handler(service: EditService):
             try:
                 if url.path == "/healthz":
                     self._send(200, b"ok")
+                elif url.path == "/directions":
+                    self._send(200, json.dumps(
+                        sorted(service.editor.directions)).encode(),
+                        "application/json")
                 elif url.path == "/stats":
                     self._send(200, json.dumps(service.stats()).encode(),
                                "application/json")
@@ -100,7 +106,9 @@ def make_handler(service: EditService):
                     power = float(q.get("power", ["2.0"])[0])
                     pairs = q.get("pairs", ["0"])[0] not in ("0", "false")
                     fmt = q.get("format", ["jpeg"])[0].lower()
-                    imgs = service.edit(seeds, power, pairs)
+                    dname = q.get("direction", [None])[0]
+                    imgs = service.edit(seeds, power, pairs,
+                                        direction_name=dname)
                     grid = np.concatenate(list(imgs), axis=0)  # vstack
                     from PIL import Image
                     buf = io.BytesIO()
@@ -125,6 +133,9 @@ def build_server(editor, host: str = "127.0.0.1", port: int = 8080):
 @click.command()
 @click.option("--network", required=True)
 @click.option("--direction", type=str, default=None)
+@click.option("--directions", type=str, multiple=True, metavar="NAME=PATH",
+              help="named-direction zoo entries, repeatable; select per "
+                   "request via /edit?direction=NAME")
 @click.option("--mapper", type=str, default=None)
 @click.option("--host", type=str, default="127.0.0.1", show_default=True)
 @click.option("--port", type=int, default=8080, show_default=True)
@@ -135,12 +146,19 @@ def build_server(editor, host: str = "127.0.0.1", port: int = 8080):
                    "inference policy (TPU-native); bf16 = fastest")
 @click.option("--warmup/--no-warmup", default=True,
               help="compile every batch bucket before accepting requests")
-def main(network, direction, mapper, host, port, max_batch, precision,
-         warmup):
+def main(network, direction, directions, mapper, host, port, max_batch,
+         precision, warmup):
     from ..serve import BatchEditor
 
+    zoo = {}
+    for entry in directions:
+        name, _, path = entry.partition("=")
+        if not path:
+            raise click.BadParameter(f"expected NAME=PATH, got {entry!r}")
+        zoo[name] = path
     editor = BatchEditor.from_files(network, direction=direction,
-                                    mapper=mapper, max_batch=max_batch,
+                                    mapper=mapper, directions=zoo or None,
+                                    max_batch=max_batch,
                                     precision=precision)
     if warmup:
         print("warming up (compiling batch buckets)...")

@@ -66,6 +66,9 @@ class BatchEditor:
         self.params = jax.device_put(gen_params)
         self.direction = None if direction is None else \
             jax.device_put(jnp.asarray(direction, jnp.float32))
+        # named-direction registry: several edits deployed at once, selected
+        # per request (directions are runtime values — no recompiles)
+        self.directions: Dict[str, jnp.ndarray] = {}
         self.mapper_params = None if mapper_params is None else \
             jax.device_put(mapper_params)
         self.mapper_neg_slope = mapper_neg_slope
@@ -101,7 +104,19 @@ class BatchEditor:
             return x
         return jnp.concatenate([x, jnp.repeat(x[-1:], b - n, axis=0)], axis=0)
 
-    def _directions_for(self, styles: jnp.ndarray) -> jnp.ndarray:
+    def add_direction(self, name: str, direction) -> None:
+        """Register a named direction for per-request selection."""
+        self.directions[name] = jax.device_put(
+            jnp.asarray(direction, jnp.float32))
+
+    def _directions_for(self, styles: jnp.ndarray,
+                        name: Optional[str] = None) -> jnp.ndarray:
+        if name is not None:
+            if name not in self.directions:
+                raise KeyError(
+                    f"unknown direction {name!r}; loaded: "
+                    f"{sorted(self.directions)}")
+            return self.directions[name]
         if self.mapper_params is not None:
             return mapper_directions_batched(self.mapper_params, styles,
                                              neg_slope=self.mapper_neg_slope)
@@ -122,9 +137,11 @@ class BatchEditor:
         return jnp.concatenate(out, axis=0)
 
     def edit_styles(self, styles, change_power: float = 2.0,
-                    pairs: bool = False) -> np.ndarray:
+                    pairs: bool = False,
+                    direction_name: Optional[str] = None) -> np.ndarray:
         """styles [N, 26, 512] → uint8 HWC images; pairs=True returns
-        [orig | edited] concatenations."""
+        [orig | edited] concatenations; direction_name selects from the
+        named registry (default: the constructor direction / mapper)."""
         styles = jnp.asarray(styles, jnp.float32)
         outs = []
         for lo in range(0, styles.shape[0], self.buckets[-1]):
@@ -132,7 +149,7 @@ class BatchEditor:
             n = chunk.shape[0]
             b = self._bucket(n)
             padded = self._pad(chunk, b)
-            d = self._directions_for(padded)
+            d = self._directions_for(padded, name=direction_name)
             edited = self._render(self.params, padded + d * change_power)
             if pairs:
                 orig = self._render(self.params, padded)
@@ -144,9 +161,11 @@ class BatchEditor:
         return np.concatenate(outs, axis=0)
 
     def edit_seeds(self, seeds: Sequence[int], change_power: float = 2.0,
-                   pairs: bool = False) -> np.ndarray:
+                   pairs: bool = False,
+                   direction_name: Optional[str] = None) -> np.ndarray:
         return self.edit_styles(self.styles_from_seeds(seeds),
-                                change_power=change_power, pairs=pairs)
+                                change_power=change_power, pairs=pairs,
+                                direction_name=direction_name)
 
     def warmup(self):
         """Compile every bucket ahead of serving."""
@@ -158,7 +177,11 @@ class BatchEditor:
 
     @classmethod
     def from_files(cls, network: str, direction: Optional[str] = None,
-                   mapper: Optional[str] = None, **kwargs) -> "BatchEditor":
+                   mapper: Optional[str] = None,
+                   directions: Optional[Dict[str, str]] = None,
+                   **kwargs) -> "BatchEditor":
+        """directions: {name: path} registers a named-direction zoo on top
+        of (or instead of) the single default `direction`."""
         from .io import load_generator, load_state_dict_numpy
         from .models.mapper import params_from_torch_state
 
@@ -167,4 +190,7 @@ class BatchEditor:
         mp = None
         if mapper:
             mp = params_from_torch_state(load_state_dict_numpy(mapper))
-        return cls(cfg, params, direction=d, mapper_params=mp, **kwargs)
+        editor = cls(cfg, params, direction=d, mapper_params=mp, **kwargs)
+        for name, path in (directions or {}).items():
+            editor.add_direction(name, np.load(path)["s"])
+        return editor

@@ -118,3 +118,53 @@ def test_precision_rejects_unknown():
     import pytest
     with pytest.raises(ValueError, match="unknown precision"):
         _editor(precision="fp8")
+
+
+def test_named_direction_registry():
+    editor = _editor()
+    d2 = np.zeros((1, N_STYLE_CHANNELS, 512), np.float32)
+    d2[:, 3, 64:128] = 0.8
+    editor.add_direction("beard", d2)
+    editor.add_direction("smile", np.zeros((1, N_STYLE_CHANNELS, 512),
+                                           np.float32))
+    styles = np.asarray(editor.styles_from_seeds([1, 2]))
+    default = editor.edit_styles(styles, change_power=2.0)
+    beard = editor.edit_styles(styles, change_power=2.0,
+                               direction_name="beard")
+    noop = editor.edit_styles(styles, change_power=2.0,
+                              direction_name="smile")
+    orig = editor.edit_styles(styles, change_power=0.0)
+    assert not np.array_equal(default, beard)
+    np.testing.assert_array_equal(noop, orig)  # zero direction == no edit
+    import pytest
+    with pytest.raises(KeyError, match="unknown direction"):
+        editor.edit_styles(styles, direction_name="nope")
+
+
+def test_http_direction_param(tmp_path):
+    import json
+    import threading
+    import urllib.request
+    from stylemc_tpu.cli.serve import build_server
+
+    editor = _editor()
+    editor.add_direction("z", np.zeros((1, N_STYLE_CHANNELS, 512),
+                                       np.float32))
+    server, service = build_server(editor, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        names = json.load(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/directions"))
+        assert names == ["z"]
+        r = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/edit?seeds=1&power=2.0&direction=z")
+        assert r.status == 200
+        r2 = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/edit?seeds=1&direction=missing")
+        assert False, "expected 500"
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+    finally:
+        server.shutdown()
