@@ -90,7 +90,9 @@ class GeneratorConfig:
         return [2 ** i for i in range(2, int(np.log2(self.img_resolution)) + 1)]
 
     def channels(self, res: int) -> int:
-        return min(self.channel_base // res, self.channel_max)
+        # floor at 1: tiny test configs (small channel_base at high res) must
+        # not produce 0-channel layers (zero-div equalized-lr gains)
+        return max(1, min(self.channel_base // res, self.channel_max))
 
     @property
     def num_ws(self) -> int:
@@ -143,7 +145,10 @@ def _fc_init(key, in_f, out_f, bias_init=0.0):
 def init_generator_params(key, cfg: GeneratorConfig) -> Dict[str, Any]:
     """Random init matching the ADA scheme (unit normal weights; equalized-lr
     gains applied at runtime)."""
-    keys = jax.random.split(key, 64)
+    # mapping fcs + (conv0 3, conv1 3, torgb 2) per block + const: a 1024-res
+    # generator draws 78 keys (a fixed 64 failed there with StopIteration)
+    n_keys = cfg.mapping_layers + 8 * len(cfg.block_resolutions) + 1
+    keys = jax.random.split(key, n_keys)
     ki = iter(keys)
 
     mapping = {}

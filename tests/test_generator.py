@@ -31,6 +31,32 @@ def test_channels_ffhq1024():
     assert got == [512, 512, 512, 512, 512, 256, 128, 64, 32]
 
 
+def test_init_params_1024():
+    # a 1024-res generator draws 78 rng keys; a fixed split(key, 64) raised
+    # StopIteration here. Tiny channels keep this fast; block count (the
+    # key-consuming axis) is set by img_resolution alone.
+    cfg = GeneratorConfig(img_resolution=1024, channel_base=128,
+                          channel_max=8, mapping_layers=8)
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    assert set(params["synthesis"]) == {f"b{r}" for r in cfg.block_resolutions}
+    assert params["synthesis"]["b1024"]["conv1"]["noise_const"].shape == \
+        (1024, 1024)
+
+
+def test_init_params_key_stream_stable():
+    # the split count is now computed per-config; counter-mode split means
+    # the first keys (and so all 256-res params) must match a fixed split
+    cfg = GeneratorConfig(img_resolution=256, mapping_layers=2,
+                          channel_base=2048, channel_max=64)
+    p = init_generator_params(jax.random.PRNGKey(7), cfg)
+    keys64 = jax.random.split(jax.random.PRNGKey(7), 64)
+    nk = cfg.mapping_layers + 8 * len(cfg.block_resolutions) + 1
+    keysN = jax.random.split(jax.random.PRNGKey(7), nk)
+    np.testing.assert_array_equal(np.asarray(keys64[:nk if nk < 64 else 64]),
+                                  np.asarray(keysN[:64 if nk > 64 else nk]))
+    assert np.isfinite(float(jnp.sum(p["synthesis"]["b256"]["conv1"]["weight"])))
+
+
 def test_temp_shapes():
     cfg = GeneratorConfig(img_resolution=1024)
     ts = cfg.temp_shapes()
