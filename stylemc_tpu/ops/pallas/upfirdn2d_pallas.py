@@ -24,7 +24,6 @@ upfirdn2d.py:246-264).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,8 +34,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..upfirdn2d import upsample2d as upsample2d_xla
 from ..upfirdn2d import downsample2d as downsample2d_xla
 
-# VMEM budget: in-plane + out-plane (4x) in fp32 must fit comfortably.
+# Largest input plane the up-kernel accepts (the 1024-res generator's biggest
+# upsample is 512² → 1024²). The kernels tile over output rows — the full
+# padded input plane is the resident VMEM block; per-step scratch is a
+# _ROW_TILE-row window — so VMEM use is plane + O(row tile), not O(out plane)
+# (an untiled 512²→1024² kernel needed 18.4 MB scoped VMEM > the 16 MB limit).
 _MAX_PLANE = 512 * 512
+_ROW_TILE = 128
 
 
 def _shift_down(x, axis):
@@ -71,15 +75,21 @@ def _up1d_rows(x, g):
     return _interleave_rows(even, odd)
 
 
-def _upsample2x_plane(x, g: Tuple[float, float, float, float]):
-    """[H, W] → [2H, 2W] polyphase up-filter (both axes)."""
-    v = _up1d_rows(x, g)            # vertical
-    return _up1d_rows(v.T, g).T     # horizontal via transpose
+def _make_up_kernel(g, hb: int):
+    """Row-tiled 2× polyphase upsample: grid step (i, j) writes output rows
+    [2·j·hb, 2·(j+1)·hb) of plane i from the 1-row-padded input plane
+    (resident across the inner grid axis; only a (hb+2)-row window is read
+    per step, so scratch stays O(hb·W) for any plane size)."""
+    g0, g1, g2, g3 = g
 
-
-def _make_up_kernel(g):
     def kernel(x_ref, o_ref):
-        o_ref[0] = _upsample2x_plane(x_ref[0], g)
+        j = pl.program_id(1)
+        # rows x[j·hb - 1 .. j·hb + hb] via the padded plane (zero boundary)
+        win = x_ref[0, pl.ds(j * hb, hb + 2), :]
+        even = g0 * win[0:hb] + g2 * win[1:hb + 1]
+        odd = g1 * win[1:hb + 1] + g3 * win[2:hb + 2]
+        v = _interleave_rows(even, odd)       # vertical pass  [2hb, W]
+        o_ref[0] = _up1d_rows(v.T, g).T       # horizontal via transpose
 
     return kernel
 
@@ -122,17 +132,19 @@ def _interpret():
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _upsample2x_core(x, taps):
     n, c, h, w = x.shape
+    hb = min(h, _ROW_TILE)
     planes = x.reshape(n * c, h, w)
+    padded = jnp.pad(planes, ((0, 0), (1, 1), (0, 0)))
     out = pl.pallas_call(
-        _make_up_kernel(taps),
-        grid=(n * c,),
-        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+        _make_up_kernel(taps, hb),
+        grid=(n * c, h // hb),
+        in_specs=[pl.BlockSpec((1, h + 2, w), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 2 * h, 2 * w), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 2 * hb, 2 * w), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n * c, 2 * h, 2 * w), x.dtype),
         interpret=_interpret(),
-    )(planes)
+    )(padded)
     return out.reshape(n, c, 2 * h, 2 * w)
 
 
@@ -176,30 +188,36 @@ def upsample2d_pallas(x, f, up: int = 2, padding=0, flip_filter: bool = False,
 # ------------------------------------------------------------- downsample 2x
 
 
-def _downsample2x_plane(x, g):
-    """[2H, 2W] → [H, W]: out[m] = Σ_k g[k]·x[2m + k - 1] per axis
-    (canonical downsample2d padding (1,1)).
+def _down_rows(t, g):
+    """1-D stride-2 4-tap correlation along axis 0 with zero boundary:
+    out[m] = Σ_k g[k]·t[2m + k - 1] (canonical downsample2d padding (1,1)).
 
     The even/odd phases come from a sublane reshape (the inverse of
     _interleave_rows) — a strided slice t[0::2] would lower to a gather,
     which Mosaic rejects on TPU."""
-    def down_rows(t):
-        g0, g1, g2, g3 = g
-        h2 = t.shape[0] // 2
-        tt = t.reshape(h2, 2, t.shape[1])
-        te = tt[:, 0]                      # t[2m]
-        to = tt[:, 1]                      # t[2m+1]
-        te_prev = _shift_down(to, 0)       # t[2m-1]
-        to_next = _shift_up(te, 0)         # t[2m+2]
-        return g0 * te_prev + g1 * te + g2 * to + g3 * to_next
-
-    v = down_rows(x)
-    return down_rows(v.T).T
+    g0, g1, g2, g3 = g
+    h2 = t.shape[0] // 2
+    tt = t.reshape(h2, 2, t.shape[1])
+    te = tt[:, 0]                      # t[2m]
+    to = tt[:, 1]                      # t[2m+1]
+    te_prev = _shift_down(to, 0)       # t[2m-1]
+    to_next = _shift_up(te, 0)         # t[2m+2]
+    return g0 * te_prev + g1 * te + g2 * to + g3 * to_next
 
 
-def _make_down_kernel(g):
+def _make_down_kernel(g, hb: int):
+    """Row-tiled 2× polyphase downsample: grid step (i, j) writes output
+    rows [j·hb, (j+1)·hb) from a (2hb+2)-row window of the 1-row-padded
+    input plane: out[m'] = Σ_k g[k]·win[2m' + k] (win[r] = x[2·j·hb+r-1])."""
+    g0, g1, g2, g3 = g
+
     def kernel(x_ref, o_ref):
-        o_ref[0] = _downsample2x_plane(x_ref[0], g)
+        j = pl.program_id(1)
+        win = x_ref[0, pl.ds(2 * j * hb, 2 * hb + 2), :]
+        a = win[0:2 * hb].reshape(hb, 2, win.shape[1])
+        b = win[2:2 * hb + 2].reshape(hb, 2, win.shape[1])
+        v = g0 * a[:, 0] + g1 * a[:, 1] + g2 * b[:, 0] + g3 * b[:, 1]
+        o_ref[0] = _down_rows(v.T, g).T   # horizontal pass via transpose
 
     return kernel
 
@@ -207,17 +225,19 @@ def _make_down_kernel(g):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _downsample2x_core(x, taps):
     n, c, h, w = x.shape
+    hb = min(h // 2, _ROW_TILE)
     planes = x.reshape(n * c, h, w)
+    padded = jnp.pad(planes, ((0, 0), (1, 1), (0, 0)))
     out = pl.pallas_call(
-        _make_down_kernel(taps),
-        grid=(n * c,),
-        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+        _make_down_kernel(taps, hb),
+        grid=(n * c, (h // 2) // hb),
+        in_specs=[pl.BlockSpec((1, h + 2, w), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, h // 2, w // 2), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, hb, w // 2), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n * c, h // 2, w // 2), x.dtype),
         interpret=_interpret(),
-    )(planes)
+    )(padded)
     return out.reshape(n, c, h // 2, w // 2)
 
 

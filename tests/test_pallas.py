@@ -113,3 +113,42 @@ def test_pallas_second_order_gradients():
     hvp_x = jax.grad(lambda z: jnp.vdot(jax.grad(loss_x)(z), v))(x)
     np.testing.assert_allclose(np.asarray(hvp_p), np.asarray(hvp_x),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_upsample_pallas_multitile_grid():
+    # h > _ROW_TILE exercises the row-tiled grid (the untiled kernel OOM'd
+    # scoped VMEM at 512²→1024² on real TPU); h=256 → two row tiles
+    f = setup_filter([1, 3, 3, 1])
+    x = jnp.asarray(np.random.RandomState(5).randn(1, 1, 256, 128)
+                    .astype(np.float32))
+    want = np.asarray(upsample2d(x, f))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(upsample2d_pallas(x, f, force=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_downsample_pallas_multitile_grid():
+    f = setup_filter([1, 3, 3, 1])
+    y = jnp.asarray(np.random.RandomState(6).randn(1, 1, 512, 256)
+                    .astype(np.float32))
+    want = np.asarray(downsample2d(y, f))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(downsample2d_pallas(y, f, force=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_upsample_pallas_multitile_gradient():
+    f = setup_filter([1, 3, 3, 1])
+    x = jnp.asarray(np.random.RandomState(7).randn(1, 1, 256, 128)
+                    .astype(np.float32))
+
+    def loss_p(z):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(upsample2d_pallas(z, f, force=True) ** 2)
+
+    def loss_x(z):
+        return jnp.sum(upsample2d(z, f) ** 2)
+
+    gp = np.asarray(jax.grad(loss_p)(x))
+    gx = np.asarray(jax.grad(loss_x)(x))
+    np.testing.assert_allclose(gp, gx, rtol=1e-4, atol=1e-5)
