@@ -171,6 +171,11 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
         callback=callback, landmarks_metric_fn=landmarks_metric_fn)
 
     np.savez(f"{outdir}/direction_{prompt_tag}.npz", s=np.asarray(direction))
+    steady = info.get("steady_ms_per_step")
+    if steady:
+        print(f"steady step time: {steady:.0f} ms/step "
+              f"(first step {info['first_step_time']:.1f} s: trace + "
+              "compile/cache-load)")
     print("time passed:", time.time() - t1)
     logger.finish()
 

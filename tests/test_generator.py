@@ -43,6 +43,22 @@ def test_init_params_1024():
         (1024, 1024)
 
 
+@pytest.mark.slow
+def test_synthesis_full_1024_tiny_channels():
+    # all 9 blocks end-to-end (w→s→synthesis) at 1024; tiny channels keep
+    # CPU time bounded while exercising every until_k stage and the
+    # large-plane resample paths
+    cfg = GeneratorConfig(img_resolution=1024, channel_base=512,
+                          channel_max=8, mapping_layers=2)
+    p = init_generator_params(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.z_dim))
+    s = w_to_s(p, cfg, mapping(p, cfg, z))
+    assert s.shape == (2, 26, 512)
+    img = synthesis(p, cfg, s, noise_mode="const")
+    assert img.shape == (2, 3, 1024, 1024)
+    assert bool(jnp.all(jnp.isfinite(img)))
+
+
 def test_init_params_key_stream_stable():
     # the split count is now computed per-config; counter-mode split means
     # the first keys (and so all 256-res params) must match a fixed split
