@@ -134,10 +134,16 @@ class GeneratorConfig:
 # ------------------------------------------------------------------ init
 
 
-def _fc_init(key, in_f, out_f, bias_init=0.0):
+def _fc_init(key, in_f, out_f, bias_init=0.0, lr_multiplier=1.0):
+    # ADA stores weights pre-divided by lr_multiplier (networks.py
+    # FullyConnectedLayer: randn/lr_multiplier) so the runtime gain
+    # lr_multiplier/sqrt(in_f) nets to unit-scale activations. Without the
+    # division, an 8-layer mapping at lr_mult=0.01 attenuates z by 1e-16 and
+    # every seed collapses to the same w.
     kw, _ = jax.random.split(key)
     return {
-        "weight": jax.random.normal(kw, (out_f, in_f), jnp.float32),
+        "weight": jax.random.normal(kw, (out_f, in_f), jnp.float32)
+        / lr_multiplier,
         "bias": jnp.full((out_f,), float(bias_init), jnp.float32),
     }
 
@@ -153,7 +159,9 @@ def init_generator_params(key, cfg: GeneratorConfig) -> Dict[str, Any]:
 
     mapping = {}
     for i in range(cfg.mapping_layers):
-        mapping[f"fc{i}"] = _fc_init(next(ki), cfg.w_dim if i else cfg.z_dim, cfg.w_dim)
+        mapping[f"fc{i}"] = _fc_init(next(ki), cfg.w_dim if i else cfg.z_dim,
+                                     cfg.w_dim,
+                                     lr_multiplier=cfg.mapping_lr_multiplier)
     mapping["w_avg"] = jnp.zeros((cfg.w_dim,), jnp.float32)
 
     synthesis = {}

@@ -11,14 +11,14 @@ from stylemc_tpu.models.stylegan2.generator import (
     GeneratorConfig, init_generator_params, mapping, w_to_s, synthesis,
 )
 
-# Recorded on CPU (highest matmul precision), jax 0.9.0 — see /tmp recipe in
-# the commit introducing this file.
+# Recorded on CPU (highest matmul precision), jax 0.9.0. Re-recorded after
+# the mapping-init fix (weights stored as randn/lr_multiplier, matching ADA).
 GOLDEN = {
-    "ws_sum": 0.21948719024658203,
-    "s_sum": 511.9989013671875,
-    "img_mean": -0.2523880898952484,
-    "img_std": 0.7794622778892517,
-    "img_corner": -0.17554548382759094,
+    "ws_sum": 2194.871826171875,
+    "s_sum": 502.3516845703125,
+    "img_mean": -0.3184995651245117,
+    "img_std": 1.0162326097488403,
+    "img_corner": -0.18674805760383606,
 }
 
 
@@ -39,3 +39,16 @@ def test_generator_goldens():
                                rtol=1e-3)
     np.testing.assert_allclose(float(img[0, 0, 0, 0]), GOLDEN["img_corner"],
                                rtol=1e-3)
+
+
+def test_mapping_seeds_diverge_at_full_depth():
+    """Regression: with 8 mapping layers at lr_multiplier=0.01, an init that
+    omits the ADA 1/lr_multiplier weight storage attenuates z by 0.01^8 and
+    every seed collapses to the same w (observed as 8 byte-identical 1024px
+    renders). Distinct z must map to measurably distinct w."""
+    cfg = GeneratorConfig(img_resolution=16, channel_base=512, channel_max=32,
+                          mapping_layers=8)
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 512))
+    ws = mapping(params, cfg, z, truncation_psi=1.0)
+    assert float(jnp.std(ws[0] - ws[1])) > 0.05
