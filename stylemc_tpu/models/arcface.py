@@ -90,18 +90,66 @@ def _bottleneck_ir_se(p, x, in_c, depth, stride):
     return r + shortcut
 
 
-def backbone_apply(params, x, layout=None):
+def body_runs(layout):
+    """Group bottleneck indices into maximal runs of identical uniform
+    blocks (in==depth, stride 1) and singleton non-uniform blocks.
+    Returns [(lo, hi, depth_or_None)]; depth is set for scannable runs of
+    length >= 2."""
+    runs = []
+    i = 0
+    while i < len(layout):
+        in_c, depth, stride = layout[i]
+        j = i + 1
+        if in_c == depth and stride == 1:
+            while j < len(layout) and layout[j] == (depth, depth, 1):
+                j += 1
+        if j - i >= 2:
+            runs.append((i, j, depth))
+        else:
+            runs.append((i, j, None))
+        i = j
+    return runs
+
+
+def apply_body_run(p_body, x, run, layout):
+    """Apply one body_runs() group. Uniform runs go through one lax.scan
+    over stacked per-block params — the bottleneck body is compiled ONCE
+    per stage instead of inlined per block (IR-SE-50: 24 inlined
+    bottlenecks -> 4 singletons + 4 scan bodies), a large XLA compile-time
+    cut with identical numerics; autodiff flows through scan."""
+    lo, hi, depth = run
+    if depth is None:
+        for i in range(lo, hi):
+            x = _bottleneck_ir_se(p_body[f"{i}"], x, *layout[i])
+        return x
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[p_body[f"{i}"] for i in range(lo, hi)])
+
+    def step(h, bp):
+        return _bottleneck_ir_se(bp, h, depth, depth, 1), None
+
+    x, _ = jax.lax.scan(step, x, stacked)
+    return x
+
+
+def backbone_apply(params, x, layout=None, scan_blocks=True):
     """x: [N, 3, S, S] in [-1, 1] → L2-normalized embeddings [N, 512].
 
     layout: list of (in_channel, depth, stride) bottleneck specs; defaults to
-    the IR-SE-50 layout. Tests / dryruns may pass a reduced layout."""
+    the IR-SE-50 layout. Tests / dryruns may pass a reduced layout.
+    scan_blocks: run uniform bottleneck stretches through lax.scan (see
+    apply_body_run) — same numerics, much smaller XLA graph."""
     p = params
     layout = layout if layout is not None else ir_se_50_layout()
     x = _conv(x, p["input_conv_weight"], padding=1)
     x = _bn(p["input_bn"], x)
     x = _prelu(p["input_prelu"], x)
-    for i, (in_c, depth, stride) in enumerate(layout):
-        x = _bottleneck_ir_se(p["body"][f"{i}"], x, in_c, depth, stride)
+    if scan_blocks:
+        for run in body_runs(layout):
+            x = apply_body_run(p["body"], x, run, layout)
+    else:
+        for i, (in_c, depth, stride) in enumerate(layout):
+            x = _bottleneck_ir_se(p["body"][f"{i}"], x, in_c, depth, stride)
     x = _bn(p["output_bn"], x)
     n = x.shape[0]
     x = x.reshape(n, -1)

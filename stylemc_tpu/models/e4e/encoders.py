@@ -101,19 +101,26 @@ def gradual_style_block(p, x, spatial: int):
 
 
 def _encoder_body(p, x):
-    """IR-SE-50 trunk with FPN taps. x: [N,3,256,256] → (c1, c2, c3)."""
+    """IR-SE-50 trunk with FPN taps. x: [N,3,256,256] → (c1, c2, c3).
+
+    Uniform bottleneck stretches run through lax.scan (arcface.body_runs /
+    apply_body_run) — one compiled body per stage instead of 24 inlined
+    blocks. The FPN taps (6/20/23) each fall on a run *boundary*, so the
+    scan grouping never needs to surface an intermediate activation."""
+    from ..arcface import apply_body_run, body_runs
+
     x = _conv(x, p["input_conv_weight"], padding=1)
     x = _bn(p["input_bn"], x)
     x = _prelu(p["input_prelu"], x)
-    c1 = c2 = c3 = None
-    for i, (in_c, depth, stride) in enumerate(ir_se_50_layout()):
-        x = _bottleneck_ir_se(p["body"][f"{i}"], x, in_c, depth, stride)
-        if i == TAP_C1:
-            c1 = x
-        elif i == TAP_C2:
-            c2 = x
-        elif i == TAP_C3:
-            c3 = x
+    layout = ir_se_50_layout()
+    taps = {TAP_C1: None, TAP_C2: None, TAP_C3: None}
+    for run in body_runs(layout):
+        x = apply_body_run(p["body"], x, run, layout)
+        if run[1] - 1 in taps:
+            taps[run[1] - 1] = x
+    c1, c2, c3 = taps[TAP_C1], taps[TAP_C2], taps[TAP_C3]
+    assert c1 is not None and c2 is not None and c3 is not None, \
+        "FPN tap indices must land on body_runs boundaries"
     return c1, c2, c3
 
 
