@@ -25,8 +25,20 @@ ckpt = sys.argv[1] if len(sys.argv) > 1 else "/tmp/e4e_bench/e4e_ffhq_encode.pt"
 psp = load_psp_from_checkpoint(ckpt, 1024)
 dev = jax.devices()[0]
 
-encode = jax.jit(lambda x: psp.encode(x))
-invert = jax.jit(lambda x: psp.decode(psp.encode(x)))
+import dataclasses as _dc
+
+# Params as jit ARGS (not closed-over constants): matches the CLI's jit
+# signature so the persistent compile cache is shared, and avoids the
+# slower constant-folding compile path.
+_encode = jax.jit(
+    lambda ep, x: _dc.replace(psp, encoder_params=ep).encode(x))
+_invert = jax.jit(
+    lambda ep, dp, x: _dc.replace(psp, encoder_params=ep,
+                                  decoder_params=dp).decode(
+        _dc.replace(psp, encoder_params=ep).encode(x)))
+
+encode = lambda x: _encode(psp.encoder_params, x)
+invert = lambda x: _invert(psp.encoder_params, psp.decoder_params, x)
 
 x_probe = jax.device_put(
     np.random.RandomState(0).randn(4, 3, 256, 256).astype(np.float32), dev)
