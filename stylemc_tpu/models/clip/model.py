@@ -119,8 +119,21 @@ def residual_block(p, x, n_heads, attn_mask=None):
 
 
 def transformer(p, x, n_layers, n_heads, attn_mask=None):
-    for i in range(n_layers):
-        x = residual_block(p[f"resblock{i}"], x, n_heads, attn_mask)
+    """All n_layers resblocks are shape-identical, so run them through one
+    lax.scan over stacked params: the block body compiles ONCE instead of
+    being inlined n_layers times (two 12-layer towers sit inside the
+    find_direction jit graph — a large XLA compile-time cut; numerics and
+    autodiff are unchanged)."""
+    if n_layers == 1:
+        return residual_block(p["resblock0"], x, n_heads, attn_mask)
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[p[f"resblock{i}"] for i in range(n_layers)])
+
+    def step(h, bp):
+        return residual_block(bp, h, n_heads, attn_mask), None
+
+    x, _ = jax.lax.scan(step, x, stacked)
     return x
 
 

@@ -115,10 +115,22 @@ def deeplab_apply(params, x, num_classes: int = len(CLASSES)):
         layer = params[f"layer{li + 1}"]
         # first block: dilation = max(1, d/2) (deeplab.py:186-189)
         d_first = max(1, dilations[li] // 2)
-        for bi in range(depth):
-            x = _bottleneck(layer[f"{bi}"], x,
-                            stride=strides[li] if bi == 0 else 1,
-                            dilation=d_first if bi == 0 else dilations[li])
+        x = _bottleneck(layer["0"], x, stride=strides[li], dilation=d_first)
+        if depth == 1:
+            continue
+        # Blocks 1..depth-1 are identical (stride 1, same dilation/channels,
+        # no downsample): one lax.scan over stacked params compiles the
+        # bottleneck body once per stage instead of inlining it depth-1
+        # times (ResNet-101 stage 3: 22 blocks). Identical numerics.
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[layer[f"{bi}"] for bi in range(1, depth)])
+        dil = dilations[li]
+
+        def _step(h, bp, _d=dil):
+            return _bottleneck(bp, h, stride=1, dilation=_d), None
+
+        x, _ = jax.lax.scan(_step, x, stacked)
     x = _aspp(params["aspp"], x, num_classes)
     return _bilinear_ac(x, size[0], size[1])
 
