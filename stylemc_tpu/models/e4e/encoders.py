@@ -138,17 +138,41 @@ def _head_spatial(i: int) -> int:
     return 64
 
 
+def _heads_vmapped(p_styles, feat, idxs, spatial):
+    """Apply the shape-identical style heads `idxs` to `feat` via one vmap
+    over stacked params → [len(idxs), N, 512]. The head body (log2(spatial)
+    convs + EqualLinear) is compiled once per group instead of once per
+    head (1024: groups of 3/4/11), and the small convs batch together."""
+    if len(idxs) == 1:
+        return gradual_style_block(p_styles[f"{idxs[0]}"], feat, spatial)[None]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[p_styles[f"{i}"] for i in idxs])
+    return jax.vmap(lambda bp: gradual_style_block(bp, feat, spatial))(stacked)
+
+
+def _head_groups(lo, hi):
+    """Split head indices [lo, hi) into runs sharing a feature/spatial."""
+    groups = []
+    for g_lo, g_hi in ((lo, min(hi, COARSE_IND)),
+                       (max(lo, COARSE_IND), min(hi, MIDDLE_IND)),
+                       (max(lo, MIDDLE_IND), hi)):
+        if g_hi > g_lo:
+            groups.append(list(range(g_lo, g_hi)))
+    return groups
+
+
 def gradual_style_encoder(p, x, stylegan_size: int = 1024):
     """GradualStyleEncoder forward (psp_encoders.py:95-121) → [N, S, 512]."""
     n_styles = style_count(stylegan_size)
     c1, c2, c3 = _encoder_body(p, x)
     p1, p2 = _fpn_features(p, c1, c2, c3)
-    latents = []
-    for j in range(n_styles):
-        feat = c3 if j < COARSE_IND else (p2 if j < MIDDLE_IND else p1)
-        latents.append(gradual_style_block(p["styles"][f"{j}"], feat,
-                                           _head_spatial(j)))
-    return jnp.stack(latents, axis=1)
+    chunks = []
+    for idxs in _head_groups(0, n_styles):
+        feat = (c3 if idxs[0] < COARSE_IND
+                else (p2 if idxs[0] < MIDDLE_IND else p1))
+        chunks.append(_heads_vmapped(p["styles"], feat, idxs,
+                                     _head_spatial(idxs[0])))
+    return jnp.swapaxes(jnp.concatenate(chunks, axis=0), 0, 1)
 
 
 def encoder4editing(p, x, stylegan_size: int = 1024,
@@ -160,18 +184,24 @@ def encoder4editing(p, x, stylegan_size: int = 1024,
     w0 = gradual_style_block(p["styles"]["0"], c3, 16)
     w = jnp.repeat(w0[:, None, :], n_styles, axis=1)
 
+    stop = min(progressive_stage + 1, n_styles)
     p2 = p1 = None
-    features = c3
-    for i in range(1, min(progressive_stage + 1, n_styles)):
-        if i == COARSE_IND:
-            p2 = upsample_add(c3, _conv_bias(p["latlayer1"], c2))
-            features = p2
-        elif i == MIDDLE_IND:
-            p1 = upsample_add(p2, _conv_bias(p["latlayer2"], c1))
-            features = p1
-        delta = gradual_style_block(p["styles"][f"{i}"], features,
-                                    _head_spatial(i))
-        w = w.at[:, i].add(delta)
+    for idxs in _head_groups(1, stop):
+        if idxs[0] < COARSE_IND:
+            feat = c3
+        elif idxs[0] < MIDDLE_IND:
+            if p2 is None:
+                p2 = upsample_add(c3, _conv_bias(p["latlayer1"], c2))
+            feat = p2
+        else:
+            if p2 is None:
+                p2 = upsample_add(c3, _conv_bias(p["latlayer1"], c2))
+            if p1 is None:
+                p1 = upsample_add(p2, _conv_bias(p["latlayer2"], c1))
+            feat = p1
+        deltas = _heads_vmapped(p["styles"], feat, idxs,
+                                _head_spatial(idxs[0]))
+        w = w.at[:, idxs[0]:idxs[-1] + 1].add(jnp.swapaxes(deltas, 0, 1))
     return w
 
 
