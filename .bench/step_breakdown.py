@@ -40,16 +40,36 @@ tok = FallbackTokenizer()
 bundles = make_clip_bundles(fdc, clip_models, tokenizer=tok)
 until_k = until_k_for_resolution(256)
 
-def timeit(name, fn, *args):
+def timeit(name, fn, *args, iters=20):
+    """Chained timing: each call consumes a scalar derived from the previous
+    call's output INSIDE the jitted graph, so device execution serializes
+    without per-iteration eager ops (block_until_ready is launch-bound on
+    the axon runtime — docs/performance.md). Two passes are printed; if they
+    disagree the window was contended and the smaller one is closer to truth."""
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+
+    @jax.jit
+    def chained(carry, *lvs):
+        lvs = (lvs[0] + carry.astype(lvs[0].dtype),) + tuple(lvs[1:])
+        out = fn(*jax.tree_util.tree_unflatten(treedef, lvs))
+        first = jax.tree_util.tree_leaves(out)[0]
+        return first.ravel()[0].astype(jnp.float32) * 1e-20
+
+    carry = jnp.float32(0.0)
     t0 = time.perf_counter()
-    out = fn(*args); jax.block_until_ready(out)
+    carry = chained(carry, *leaves)
+    jax.block_until_ready(carry)
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(20)]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / 20
-    print(f"{name:42s} {dt*1e3:8.2f} ms   (compile {compile_s:.0f}s)", flush=True)
-    return dt
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry = chained(carry, *leaves)
+        float(carry)  # scalar drain
+        times.append((time.perf_counter() - t0) / iters)
+    print(f"{name:42s} {times[0]*1e3:8.2f} / {times[1]*1e3:8.2f} ms"
+          f"   (compile {compile_s:.0f}s)", flush=True)
+    return min(times)
 
 img = jax.jit(lambda gp, s: synthesis(gp, cfg, s, until_k=until_k, noise_mode="const"))(params, styles)
 jax.block_until_ready(img)

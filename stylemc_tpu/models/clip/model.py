@@ -101,7 +101,10 @@ def multi_head_attention(p, x, n_heads: int, attn_mask=None):
         return t.reshape(b, l, n_heads, hd).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd)
+    # float(): a np.float64 scalar is strongly typed and would promote a
+    # bf16 tower to fp32 mid-layer (breaking the scan carry dtype); a
+    # Python float is weak and preserves the compute dtype.
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / float(np.sqrt(hd))
     if attn_mask is not None:
         scores = scores + attn_mask.astype(scores.dtype)
     attn = jax.nn.softmax(scores, axis=-1)
@@ -141,16 +144,23 @@ def transformer(p, x, n_layers, n_heads, attn_mask=None):
 
 
 def encode_image_vit(params, cfg: CLIPConfig, image):
-    """image: [N, 3, R, R], CLIP-normalized. → [N, embed_dim]."""
+    """image: [N, 3, R, R], CLIP-normalized. → [N, embed_dim].
+
+    The patch embedding (stride == kernel size) is a space-to-depth reshape
+    + one matmul rather than a strided conv: on TPU, XLA's gradient of a
+    3-input-channel patchify conv whose input is produced by any fused
+    elementwise op (the CLIP preprocessing) lowers to a pathological
+    conv-transpose — measured 77.6 ms vs 5.8 ms for the identical matmul
+    at batch 4 / 224px / ps=16 on a v5e. The matmul is also the
+    MXU-idiomatic form; results match the conv to fp32 sum-order (2e-4)."""
     vp = params["visual"]
     ps = cfg.vision_patch_size
-    x = jax.lax.conv_general_dilated(
-        image, vp["conv1_weight"].astype(image.dtype),
-        window_strides=(ps, ps), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )  # [N, width, g, g]
-    n, w, g, _ = x.shape
-    x = x.reshape(n, w, g * g).transpose(0, 2, 1)  # [N, g², width]
+    n, c, r, _ = image.shape
+    g = r // ps
+    wgt = vp["conv1_weight"].astype(image.dtype)  # [width, 3, ps, ps]
+    w = wgt.shape[0]
+    xb = image.reshape(n, c, g, ps, g, ps).transpose(0, 2, 4, 1, 3, 5)
+    x = xb.reshape(n, g * g, c * ps * ps) @ wgt.reshape(w, -1).T  # [N, g², width]
     cls = jnp.broadcast_to(vp["class_embedding"].astype(x.dtype), (n, 1, w))
     x = jnp.concatenate([cls, x], axis=1)
     x = x + vp["positional_embedding"].astype(x.dtype)
@@ -211,7 +221,7 @@ def _attention_pool(p, x, n_heads):
         return t.transpose(1, 0, 2).reshape(n, -1, n_heads, hd).transpose(0, 2, 1, 3)
 
     qh, kh, vh = heads(q), heads(k), heads(v)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(hd)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / float(np.sqrt(hd))
     attn = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
     out = out.transpose(0, 2, 1, 3).reshape(n, 1, d)[:, 0]

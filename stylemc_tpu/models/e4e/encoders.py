@@ -47,7 +47,7 @@ def equal_linear(p, x, lr_mul: float = 1.0, activation: Optional[str] = None):
     if activation == "fused_lrelu":
         y = x @ (w * scale).T.astype(x.dtype)
         y = y + (p["bias"] * lr_mul).astype(x.dtype)
-        y = jnp.where(y >= 0, y, 0.2 * y) * np.sqrt(2)
+        y = jnp.where(y >= 0, y, 0.2 * y) * float(np.sqrt(2))
         return y
     return x @ (w * scale).T.astype(x.dtype) + (p["bias"] * lr_mul).astype(x.dtype)
 

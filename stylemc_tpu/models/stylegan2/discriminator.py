@@ -39,7 +39,7 @@ def _equal_conv(x, w, stride=1, padding=0, f=None, down=1):
 
 def _flrelu(x, bias):
     x = x + bias.reshape((1, -1) + (1,) * (x.ndim - 2)).astype(x.dtype)
-    return jnp.where(x >= 0, x, 0.2 * x) * np.sqrt(2)
+    return jnp.where(x >= 0, x, 0.2 * x) * float(np.sqrt(2))
 
 
 def _equal_linear(p, x, lr_mul=1.0, act=False):
@@ -80,7 +80,7 @@ def discriminator_apply(params, x, blur_kernel=(1, 3, 3, 1)):
                     bp["conv1"]["bias"])
         h = _flrelu(_equal_conv(h, bp["conv2"]["weight"], padding=1, f=f,
                                 down=2), bp["conv2"]["bias"])
-        h = (h + skip) / np.sqrt(2)
+        h = (h + skip) / float(np.sqrt(2))
 
     h = minibatch_stddev(h)
     h = _flrelu(_equal_conv(h, params["final_conv"]["weight"], padding=1),

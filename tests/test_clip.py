@@ -52,6 +52,20 @@ def test_vit_encode_image(tiny_vit):
     assert np.isfinite(np.array(f)).all()
 
 
+def test_vit_encode_image_bf16_keeps_dtype(tiny_vit):
+    """A bf16 image must run the whole tower in bf16. Regression: the
+    attention score scale was a strongly-typed np.float64, which promoted
+    the activations to fp32 mid-layer — a silent upcast when blocks were
+    inlined, and a hard lax.scan carry-dtype error once the transformer
+    layers were scanned (--perception_bf16 path of find_direction)."""
+    cfg, params = tiny_vit
+    img = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 32, 32),
+                            dtype=jnp.bfloat16)
+    f = jax.jit(lambda p, i: encode_image(p, cfg, i))(params, img)
+    assert f.dtype == jnp.bfloat16
+    assert np.isfinite(np.array(f, dtype=np.float32)).all()
+
+
 def test_rn_encode_image(tiny_rn):
     cfg, params = tiny_rn
     img = jax.random.normal(jax.random.PRNGKey(3), (2, 3, 64, 64))
