@@ -276,7 +276,8 @@ def bench_find_direction(cfg, params, weights_tag):
     }
     # steady-state step time excludes the one-time per-call cost (tracing +
     # compile-cache load of the step graph) folded into the wall-clock;
-    # 140 ms/step is the probe-bracketed clean-window reference value
+    # 46.7 ms/step is the chained-timing clean-window reference value
+    # (.bench/step_breakdown.py; docs/performance.md)
     if "steady_ms_per_step" in info:
         out["steady_ms_per_step"] = round(info["steady_ms_per_step"], 1)
         out["first_step_s"] = round(info["first_step_time"], 2)

@@ -25,7 +25,9 @@ import numpy as np
 import optax
 
 from ..models.e4e.psp import PSP
-from ..models.e4e.encoders import style_count
+from ..models.e4e.encoders import (style_count, encoder4editing,
+                                   gradual_style_encoder,
+                                   backbone_encoder_into_w)
 from ..models.e4e.discriminator import (discriminator_apply,
                                         init_discriminator_params,
                                         LatentCodesPool)
@@ -120,6 +122,7 @@ class Coach:
 
         self._step_cache: Dict[int, Callable] = {}
         self._d_step_cache: Dict[bool, Callable] = {}
+        self._sample_cache: Dict[int, Callable] = {}
         self._rng = np.random.RandomState(opts.seed)
 
     # ------------------------------------------------------------- plumbing
@@ -304,15 +307,46 @@ class Coach:
         self._d_step_cache[regularize] = d_step
         return d_step
 
+    def _get_sample_fn(self, stage: int):
+        """One jit for the real/fake W sampling (decoder mapping + encoder
+        forward). The previous eager path dispatched every op individually —
+        pathological on remote/tunneled runtimes (docs/performance.md)."""
+        if stage in self._sample_cache:
+            return self._sample_cache[stage]
+        cfg = self.psp.cfg
+        dec_cfg = self.psp.decoder_cfg
+        use_avg = (cfg.start_from_latent_avg
+                   and self.psp.latent_avg is not None)
+
+        def _encode(enc_params, x):
+            if cfg.encoder_type == "Encoder4Editing":
+                return encoder4editing(enc_params, x, cfg.stylegan_size,
+                                       stage)
+            if cfg.encoder_type == "GradualStyleEncoder":
+                return gradual_style_encoder(enc_params, x, cfg.stylegan_size)
+            return backbone_encoder_into_w(enc_params, x, cfg.stylegan_size)
+
+        @jax.jit
+        def _sample(dec_params, enc_params, latent_avg, z, x):
+            real_w = gen_mapping(dec_params, dec_cfg, z)[:, 0, :]
+            codes = _encode(enc_params, x)
+            if use_avg:
+                codes = codes + latent_avg[None].astype(codes.dtype)
+            return real_w, codes
+
+        self._sample_cache[stage] = _sample
+        return _sample
+
     def sample_real_and_fake_latents(self, x):
         """coach.py:426-439: real w from the decoder mapping on random z;
         fake w from the encoder (first row under progressive training)."""
         z = jnp.asarray(self._rng.randn(x.shape[0], 512), jnp.float32)
-        real_wplus = gen_mapping(self.psp.decoder_params, self.psp.decoder_cfg,
-                                 z)
-        real_w = real_wplus[:, 0, :]
-        fake_w = self.psp.encode(jnp.asarray(x),
-                                 progressive_stage=self.progressive_stage())
+        sample = self._get_sample_fn(self.progressive_stage())
+        latent_avg = (self.psp.latent_avg if self.psp.latent_avg is not None
+                      else jnp.zeros((1, 512)))
+        real_w, fake_w = sample(self.psp.decoder_params,
+                                self.psp.encoder_params, latent_avg, z,
+                                jnp.asarray(x))
         if self.opts.progressive_steps:
             dims = self.get_dims_to_discriminate()
             fake_w = fake_w[:, dims, :]
@@ -330,6 +364,9 @@ class Coach:
         d_step = self._get_d_step_fn(self.global_step % self.opts.d_reg_every == 0)
         self.discriminator_params, self.d_opt_state, out = d_step(
             self.discriminator_params, self.d_opt_state, real_w, fake_w)
+        # one device→host transfer for the whole dict: per-scalar float()
+        # pays one tunnel round-trip each on remote runtimes
+        out = jax.device_get(out)
         return {k: float(v) for k, v in out.items()}
 
     # ------------------------------------------------------------ main loop
@@ -344,6 +381,7 @@ class Coach:
             trainable, self.opt_state, jnp.asarray(x), jnp.asarray(y),
             self.discriminator_params)
         self._install(trainable)
+        enc_dict = jax.device_get(enc_dict)  # single transfer, see above
         loss_dict.update({k: float(v) for k, v in enc_dict.items()})
         self.global_step += 1
         return loss_dict
