@@ -237,6 +237,29 @@ def test_coach_orbax_checkpoint_roundtrip(tiny_coach, tmp_path):
     assert coach.global_step == step0
 
 
+@pytest.mark.slow
+def test_coach_sample_fn_matches_eager_encode(tiny_coach):
+    """The jitted per-stage sampling graph must reproduce the eager
+    gen_mapping + PSP.encode path it replaced (coach.py _get_sample_fn)."""
+    from stylemc_tpu.models.stylegan2.generator import mapping as gen_mapping
+    coach = tiny_coach
+    stage = coach.progressive_stage()
+    z = jnp.asarray(np.random.RandomState(7).randn(2, 512), jnp.float32)
+    x = jnp.asarray(np.random.RandomState(8).randn(2, 3, 256, 256)
+                    .astype(np.float32) * 0.3)
+    sample = coach._get_sample_fn(stage)
+    real_w, fake_w = sample(coach.psp.decoder_params,
+                            coach.psp.encoder_params,
+                            coach.psp.latent_avg, z, x)
+    ref_real = gen_mapping(coach.psp.decoder_params, coach.psp.decoder_cfg,
+                           z)[:, 0, :]
+    ref_fake = coach.psp.encode(x, progressive_stage=stage)
+    np.testing.assert_allclose(np.asarray(real_w), np.asarray(ref_real),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fake_w), np.asarray(ref_fake),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_prefetch_iterator():
     from stylemc_tpu.data.images import prefetch_iterator
     import itertools
