@@ -75,6 +75,7 @@ def test_encoder4editing_progressive_stages(enc):
     np.testing.assert_allclose(np.array(w_full)[:, 0], w0np[:, 0], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradual_style_encoder_shapes(enc):
     x = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 256, 256)) * 0.5
     w = gradual_style_encoder(enc, x, stylegan_size=256)

@@ -274,10 +274,14 @@ def test_second_order_gradients_through_resample():
     assert np.abs(np.asarray(gg)).max() > 0
 
 
-def test_remat_matches_non_remat(small_gen):
-    # jax.checkpoint blocks: identical forward AND gradients, lower peak HBM
+def test_remat_matches_non_remat():
+    # jax.checkpoint blocks: identical forward AND gradients, lower peak HBM.
+    # Tiny 32px config: the remat equivalence property is shape-independent
+    # and the small_gen fixture costs ~25 s of CPU compile here.
     import dataclasses
-    cfg, params = small_gen
+    cfg = GeneratorConfig(img_resolution=32, channel_base=2048,
+                          channel_max=64, mapping_layers=2)
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
     cfg_r = dataclasses.replace(cfg, remat=True)
     z = jax.random.normal(jax.random.PRNGKey(4), (2, cfg.z_dim))
     styles = w_to_s(params, cfg, mapping(params, cfg, z))

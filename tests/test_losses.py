@@ -76,6 +76,7 @@ def test_arcface_torch_roundtrip(arcface):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_id_loss_zero_for_identical(arcface):
     img = jax.random.normal(jax.random.PRNGKey(3), (2, 3, 256, 256)) * 0.3
     loss = id_loss(arcface, img, img)
