@@ -83,6 +83,26 @@ def test_id_loss_zero_for_identical(arcface):
     np.testing.assert_allclose(float(loss), 0.0, atol=1e-5)
 
 
+def test_id_loss_tiny_layout_fast():
+    # Fast-suite id_loss coverage (crop + resize + ArcFace embed + 1-dot):
+    # a tiny custom backbone layout stands in for the 50-block IR-SE body,
+    # whose full-size variants are all slow-marked.
+    layout = [(8, 8, 2), (8, 16, 2), (16, 16, 1), (16, 32, 2), (32, 32, 2)]
+    p = init_backbone_params(jax.random.PRNGKey(0), layout=layout)
+    a = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 256, 256)) * 0.3
+    b = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 256, 256)) * 0.3
+    # one jitted graph, two calls — eager dispatch through the scanned
+    # IR-SE body costs ~30 s on CPU, the compile ~10 s
+    f = jax.jit(jax.value_and_grad(
+        lambda x, y: id_loss(p, x, y, layout=layout)))
+    loss0, _ = f(a, a)
+    np.testing.assert_allclose(float(loss0), 0.0, atol=1e-5)
+    loss, g = f(a, b)
+    assert float(loss) > 0
+    g = np.asarray(g)
+    assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+
 @pytest.mark.slow
 def test_id_loss_positive_and_differentiable(arcface):
     a = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 256, 256)) * 0.3
