@@ -49,6 +49,83 @@ def _compose_kernel_with_fir(wk, f, gain: float, flip_filter: bool):
     return m.reshape(o, i, kh + fh - 1, kw + fw - 1)
 
 
+# Implementation of the fused up-conv: "polyphase" (default) computes one
+# low-resolution convolution with up²·O output channels + interleave;
+# "pad_dilate" materializes the zero-upsampled input and runs the conv at
+# high resolution. Forward FLOPs are identical (XLA's polyphase split of the
+# pad_dilate form reaches the same count), but the BACKWARD of pad_dilate is
+# a full-resolution transposed conv followed by a strided slice — up²× the
+# work — because the transpose of an interior-dilated pad is a strided
+# slice that XLA does not fold back into the conv. The polyphase form's
+# transpose stays at low resolution. Kept switchable for A/B benchmarks.
+UP_CONV_IMPL = "polyphase"
+
+
+def _polyphase_up_conv(x, wk, up: int, pads):
+    """VALID-corr(pad(zero_interleave(x, up), pads), wk) as ONE low-res conv.
+
+    Output row r = up·m + a of the dilated-pad formulation reads only input
+    rows m - s_a + t with kernel taps wk[up·t + c_a], where
+    c_a = (py0 - a) mod up and s_a = ⌊(py0 - a)/up⌋ — i.e. each output
+    phase is a plain T-tap correlation of x. All up² phases are computed by
+    one conv whose output channels are (phase_r, phase_c, O)-blocked, then
+    phase-sliced and interleaved. MXU-friendlier than the dilated form
+    (up²·O output channels fill the systolic array where StyleGAN2's upper
+    blocks are channel-thin) and its autodiff transpose stays low-res.
+    """
+    n, _, h, w_sp = x.shape
+    o, i, kh, kw = wk.shape
+    px0, px1, py0, py1 = pads
+    th, tw = -(-kh // up), -(-kw // up)  # taps per phase (ceil)
+    # dilated length is up·H (up-1 trailing zeros after the last sample,
+    # matching _pad_dilate / reference upfirdn2d.py:183-190)
+    ho = up * h + py0 + py1 - kh + 1
+    wo = up * w_sp + px0 + px1 - kw + 1
+    assert ho > 0 and wo > 0, (ho, wo)
+
+    c_r = [(py0 - a) % up for a in range(up)]
+    s_r = [(py0 - a - c_r[a]) // up for a in range(up)]
+    c_c = [(px0 - b) % up for b in range(up)]
+    s_c = [(px0 - b - c_c[b]) // up for b in range(up)]
+    big_sr, big_sc = max(s_r), max(s_c)
+    mr = -(-ho // up)   # uniform per-phase slice length (final crop trims)
+    mc = -(-wo // up)
+    rr = mr + big_sr - min(s_r)   # conv output rows needed
+    cc = mc + big_sc - min(s_c)
+
+    zero = jnp.zeros((), x.dtype)
+    lo_r, hi_r = big_sr, (rr + th - 1) - big_sr - h
+    lo_c, hi_c = big_sc, (cc + tw - 1) - big_sc - w_sp
+    xp = lax.pad(x, zero, ((0, 0, 0), (0, 0, 0),
+                           (lo_r, hi_r, 0), (lo_c, hi_c, 0)))
+
+    # Polyphase kernel [up²·O, I, th, tw], output-channel-blocked (a, b, o).
+    wk_pad = lax.pad(wk, jnp.zeros((), wk.dtype),
+                     ((0, 0, 0), (0, 0, 0),
+                      (0, th * up - kh, 0), (0, tw * up - kw, 0)))
+    wkr = wk_pad.reshape(o, i, th, up, tw, up)
+    ph = jnp.stack([wkr[:, :, :, c_r[a], :, :] for a in range(up)], axis=0)
+    ph = jnp.stack([ph[..., c_c[b]] for b in range(up)], axis=1)
+    wk_poly = ph.reshape(up * up * o, i, th, tw)
+
+    out = lax.conv_general_dilated(
+        xp, wk_poly, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    out = out.reshape(n, up, up, o, rr, cc)
+
+    rows = []
+    for a in range(up):
+        r0 = big_sr - s_r[a]
+        cols = []
+        for b in range(up):
+            c0 = big_sc - s_c[b]
+            cols.append(lax.slice(out[:, a, b], (0, 0, r0, c0),
+                                  (n, o, r0 + mr, c0 + mc)))
+        rows.append(jnp.stack(cols, axis=-1))      # [n, o, mr, mc, up_b]
+    y = jnp.stack(rows, axis=3)                    # [n, o, mr, up_a, mc, up_b]
+    return y.reshape(n, o, up * mr, up * mc)[:, :, :ho, :wo]
+
+
 def conv2d_resample(x, w, f=None, up: int = 1, down: int = 1, padding=0,
                     groups: int = 1, flip_weight: bool = True,
                     flip_filter: bool = False):
@@ -95,6 +172,8 @@ def conv2d_resample(x, w, f=None, up: int = 1, down: int = 1, padding=0,
         if fuse:
             wk = _compose_kernel_with_fir(wk, f, gain=up ** 2,
                                           flip_filter=flip_filter)
+            if UP_CONV_IMPL == "polyphase":
+                return _polyphase_up_conv(x, wk, up, (px0, px1, py0, py1))
         x = _pad_dilate(x, (up, up), (px0, px1, py0, py1))
         x = lax.conv_general_dilated(
             x, wk, window_strides=(1, 1), padding="VALID",

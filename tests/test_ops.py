@@ -193,6 +193,38 @@ def test_conv2d_resample_grad_finite():
     assert np.isfinite(np.array(g)).all()
 
 
+@pytest.mark.parametrize("h,kh,pad,up", [
+    (8, 3, 1, 2),    # synthesis up-conv configuration
+    (7, 3, 2, 2),    # odd extent
+    (8, 1, 0, 2),    # 1x1 up
+    (4, 3, 1, 4),    # up=4
+])
+def test_polyphase_up_conv_matches_pad_dilate(h, kh, pad, up):
+    """The polyphase fused up-conv (one low-res conv with up²·O output
+    channels, MXU-friendly backward) must match the dilated-pad
+    formulation bit-for-tolerance in forward AND both gradients."""
+    import sys
+    import jax
+    cr = sys.modules["stylemc_tpu.ops.conv2d_resample"]
+    x = jnp.array(_rand(2, 3, h, h))
+    w = jnp.array(_rand(5, 3, kh, kh) * 0.3)
+    f = setup_filter([1, 3, 3, 1])
+
+    def run(impl):
+        cr.UP_CONV_IMPL = impl
+        try:
+            y, vjp = jax.vjp(lambda x_, w_: conv2d_resample(
+                x_, w_, f=f, up=up, padding=pad, flip_weight=False), x, w)
+            gx, gw = vjp(jnp.ones_like(y) * 0.7)
+        finally:
+            cr.UP_CONV_IMPL = "polyphase"
+        return np.asarray(y), np.asarray(gx), np.asarray(gw)
+
+    for a, b in zip(run("pad_dilate"), run("polyphase")):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
 # ------------------------------------------------------------ modulated_conv2d
 
 @pytest.mark.parametrize("demodulate", [True, False])
