@@ -7,11 +7,14 @@ means true convolution.
 
 TPU-first formulation instead of the reference's five CUDA fast paths:
 
-* up-path: the zero-upsample is carried by `lhs_dilation` on the *main* conv
-  (one MXU convolution on the un-materialized dilated input — the analogue of
-  the reference's transposed-strided-conv path), followed by the FIR. This is
-  valid because valid-mode correlations commute: FIR∘conv == conv∘FIR.
-* down-path: pad once, main conv, then strided FIR.
+* up-path (default, `UP_CONV_IMPL="polyphase"`): the FIR is composed into the
+  conv kernel and the fused up-conv runs as ONE low-resolution convolution
+  with up²·O output channels whose phases interleave into the output
+  (`_polyphase_up_conv`). The alternative `"pad_dilate"` form materializes
+  the zero-upsampled input and convolves at high resolution — same forward
+  FLOPs, but its autodiff transpose is full-resolution. Both rely on valid
+  correlations commuting: FIR∘conv == conv∘FIR.
+* down-path: pad once, main conv with the FIR composed in, strided.
 * negative padding (cropping) is handled by `lax.pad` inside upfirdn2d /
   a pre-pad here, so every conv below runs in VALID mode.
 """
@@ -58,6 +61,9 @@ def _compose_kernel_with_fir(wk, f, gain: float, flip_filter: bool):
 # work — because the transpose of an interior-dilated pad is a strided
 # slice that XLA does not fold back into the conv. The polyphase form's
 # transpose stays at low resolution. Kept switchable for A/B benchmarks.
+# NOTE: read at TRACE time — flipping it does not affect already-jitted
+# callers (their cached executables keep the impl they traced with); retrace
+# or build a fresh jit after changing it, as .bench/up_conv_ab.py does.
 UP_CONV_IMPL = "polyphase"
 
 

@@ -211,13 +211,14 @@ def test_polyphase_up_conv_matches_pad_dilate(h, kh, pad, up):
     f = setup_filter([1, 3, 3, 1])
 
     def run(impl):
+        saved = cr.UP_CONV_IMPL
         cr.UP_CONV_IMPL = impl
         try:
             y, vjp = jax.vjp(lambda x_, w_: conv2d_resample(
                 x_, w_, f=f, up=up, padding=pad, flip_weight=False), x, w)
             gx, gw = vjp(jnp.ones_like(y) * 0.7)
         finally:
-            cr.UP_CONV_IMPL = "polyphase"
+            cr.UP_CONV_IMPL = saved
         return np.asarray(y), np.asarray(gx), np.asarray(gw)
 
     for a, b in zip(run("pad_dilate"), run("polyphase")):
