@@ -33,6 +33,13 @@ import numpy as np
                    "runs at steady-state step time; one "
                    "direction_<prompt>.npz per prompt. Overrides "
                    "--text_prompt. Single-chip path (no --data_parallel).")
+@click.option("--batch_prompts/--no-batch_prompts", default=False,
+              show_default=True,
+              help="With --text_prompts: train ALL prompts simultaneously "
+                   "in one vmapped graph (P-fold effective batch per "
+                   "dispatch; with --data_parallel the prompt axis shards "
+                   "over the mesh, zero cross-chip collectives). Large "
+                   "P × batch_size may need --remat or a smaller batch.")
 @click.option("--negative_text_prompt", type=str, required=False,
               default="a photo of a face of a masculine man")
 @click.option("--clip_type", type=str, default="double", show_default=True)
@@ -68,7 +75,8 @@ import numpy as np
               help="Batch K optimizer steps into one device dispatch "
                    "(lax.scan) — amortizes dispatch latency; same math")
 def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
-         negative_text_prompt, clip_type, clip_loss_type, resolution,
+         batch_prompts, negative_text_prompt, clip_type, clip_loss_type,
+         resolution,
          batch_size, learning_rate, n_epochs, resume, identity_loss_coef,
          landmarks_loss_coef, l2_reg_coef, clip_loss_coef, arcface_weights,
          allow_random_init, data_parallel, split_step, bf16,
@@ -151,16 +159,35 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
 
         engine = DirectionEngine(params, cfg, styles_array, clip_models,
                                  arcface_params, fdc, tokenizer=tokenizer)
-        for prompt in [p.strip() for p in text_prompts.split("|")]:
-            tp = time.time()
-            direction, info = engine.optimize(
-                prompt, resume_direction=resume_direction)
-            tag = prompt.replace(" ", "_")
-            np.savez(f"{outdir}/direction_{tag}.npz",
-                     s=np.asarray(direction))
+        prompts = [p.strip() for p in text_prompts.split("|")]
+        if batch_prompts:
+            # prompt-axis mesh (sized by P, not batch_size)
+            bmesh = data_mesh(max_size=len(prompts)) if data_parallel \
+                else None
+            if bmesh is not None and bmesh.devices.size == 1:
+                bmesh = None
+            directions, info = engine.optimize_batch(prompts, mesh=bmesh)
+            for p, prompt in enumerate(prompts):
+                tag = prompt.replace(" ", "_")
+                np.savez(f"{outdir}/direction_{tag}.npz",
+                         s=np.asarray(directions[p]))
             steady = info.get("steady_ms_per_step")
-            print(f"{prompt!r}: {time.time() - tp:.1f} s"
-                  + (f" ({steady:.0f} ms/step steady)" if steady else ""))
+            print(f"{len(prompts)} prompts in one vmapped run: "
+                  f"{info['time']:.1f} s"
+                  + (f" ({steady:.0f} ms/step steady)" if steady else "")
+                  + (f", prompt axis over {bmesh.devices.size} devices"
+                     if bmesh is not None else ""))
+        else:
+            for prompt in prompts:
+                tp = time.time()
+                direction, info = engine.optimize(
+                    prompt, resume_direction=resume_direction)
+                tag = prompt.replace(" ", "_")
+                np.savez(f"{outdir}/direction_{tag}.npz",
+                         s=np.asarray(direction))
+                steady = info.get("steady_ms_per_step")
+                print(f"{prompt!r}: {time.time() - tp:.1f} s"
+                      + (f" ({steady:.0f} ms/step steady)" if steady else ""))
         print("time passed:", time.time() - t1)
         logger.finish()
         return

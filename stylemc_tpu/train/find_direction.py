@@ -722,6 +722,8 @@ class DirectionEngine:
             arcface_params, fdc)
         loss_fn = make_loss_fn(gen_params, gen_cfg, self.bundles,
                                arcface_params, fdc)
+        self._loss_fn = loss_fn
+        self._batched_step = None  # built lazily by optimize_batch
         self.optimizer = optax.inject_hyperparams(optax.sgd)(
             learning_rate=fdc.learning_rate)
         self.model_params = {"gen": gen_params, "arc": arcface_params,
@@ -823,3 +825,134 @@ class DirectionEngine:
                 1e3 * (elapsed - (first_step_done - t0))
                 / (cur_iteration - 1))
         return direction, info
+
+    def _ensure_batched_step(self):
+        """jit(vmap(step)) over a leading PROMPT axis.
+
+        Per-prompt work (delta, optimizer state, CLIP text anchors) maps over
+        axis 0; the model params, style bank, cached original features, batch
+        indices, and LR broadcast. Prompts are independent, so the vmapped
+        graph has NO cross-prompt collectives — sharding the prompt axis over
+        a mesh scales a direction zoo linearly across chips with zero ICI
+        traffic (each device trains its own prompts against replicated
+        weights).
+        """
+        if self._batched_step is not None:
+            return
+        loss_fn, optimizer = self._loss_fn, self.optimizer
+
+        def one(delta_s, opt_state, text_dirs, idx, lr, all_s, all_id,
+                all_clip, mp):
+            opt_state = opt_state._replace(
+                hyperparams=dict(opt_state.hyperparams, learning_rate=lr))
+            styles = jnp.take(all_s, idx, axis=0)
+            id_f = jnp.take(all_id, idx, axis=0)
+            clip_f = tuple(jnp.take(c, idx, axis=0) for c in all_clip)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                delta_s, styles, id_f, clip_f, mp, text_dirs)
+            updates, opt_state = optimizer.update(grads, opt_state, delta_s)
+            delta_s = optax.apply_updates(delta_s, updates)
+            return delta_s, opt_state, loss, aux
+
+        self._batched_step = jax.jit(jax.vmap(
+            one, in_axes=(0, 0, 0) + (None,) * 6))
+
+    def optimize_batch(self, text_prompts: List[str],
+                       negative_text_prompts: Optional[List[str]] = None,
+                       mesh=None,
+                       callback: Optional[Callable] = None):
+        """Train P directions SIMULTANEOUSLY in one vmapped graph.
+
+        The serial `optimize()` sweep reuses one traced step but still runs
+        the reference's batch-4 workload per prompt — far below MXU
+        occupancy. Batching P prompts multiplies the effective synthesis /
+        CLIP / ArcFace batch by P in the same dispatch (StyleGAN2's upper
+        blocks are channel-thin; P×4 images fill the systolic array), so a
+        direction zoo trains in ~the wall-clock of one direction until the
+        chip saturates. Each prompt sees the SAME batch-index stream as a
+        serial `optimize()` call (both draw RandomState(fdc.seed)), so
+        results match the serial path per prompt.
+
+        `mesh`: optional 1-axis jax Mesh — the prompt axis is sharded over
+        its devices (len(text_prompts) must divide evenly); everything else
+        replicates. No collectives are emitted (prompts are independent).
+
+        Returns (directions [P, 1, 26, 512], info) — info["history"] has
+        shape [P, steps].
+        """
+        fdc = self.fdc
+        P = len(text_prompts)
+        if negative_text_prompts is None:
+            negative_text_prompts = [fdc.negative_text_prompt] * P
+        assert len(negative_text_prompts) == P
+
+        # stack per-prompt anchors: tuple-of-dicts pytree, leading P axis
+        per_prompt = [self._text_dirs(t, n)
+                      for t, n in zip(text_prompts, negative_text_prompts)]
+        text_dirs_b = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves), *per_prompt)
+
+        # identical init to optimize(): every prompt starts from the same
+        # PRNGKey(fdc.seed) draw
+        delta0 = jax.random.normal(
+            jax.random.PRNGKey(fdc.seed),
+            (1, len(TRAINABLE), STYLE_DIM), jnp.float32) * 1e-3
+        deltas = jnp.broadcast_to(delta0, (P,) + delta0.shape)
+        opt_states = jax.vmap(self.optimizer.init)(deltas)
+
+        if mesh is not None:
+            pspec = jax.sharding.PartitionSpec("data")
+            shard = jax.sharding.NamedSharding(mesh, pspec)
+            assert P % mesh.devices.size == 0, (
+                f"{P} prompts over {mesh.devices.size} devices")
+            deltas = jax.device_put(deltas, shard)
+            opt_states, text_dirs_b = jax.tree_util.tree_map(
+                lambda x: jax.device_put(
+                    x, jax.sharding.NamedSharding(
+                        mesh, jax.sharding.PartitionSpec(
+                            *(("data",) + (None,) * (x.ndim - 1))))),
+                (opt_states, text_dirs_b))
+
+        self._ensure_batched_step()
+        num_batches = math.ceil(self.n_items / fdc.batch_size)
+        total_iterations = num_batches * fdc.n_epochs
+        rng = np.random.RandomState(fdc.seed)
+        t0 = time.time()
+        first_step_done = None
+        history = []
+        cur_iteration = 0
+        for _ in range(fdc.n_epochs):
+            for _ in range(num_batches):
+                cur_iteration += 1
+                lr = cosine_lr(fdc.learning_rate, cur_iteration,
+                               total_iterations)
+                idx = rng.randint(0, self.n_items, size=fdc.batch_size)
+                deltas, opt_states, losses, auxs = self._batched_step(
+                    deltas, opt_states, text_dirs_b,
+                    jnp.asarray(idx, jnp.int32), jnp.float32(lr),
+                    self.styles_array, self.id_feats, self.clip_feats,
+                    self.model_params)
+                if cur_iteration == 1:
+                    jax.block_until_ready(losses)
+                    first_step_done = time.time()
+                if callback is not None and cur_iteration % 10 == 0:
+                    callback(cur_iteration,
+                             [float(x) for x in np.asarray(losses)],
+                             {k: np.asarray(v) for k, v in auxs.items()}, lr,
+                             np.stack([np.asarray(assemble_direction(d))
+                                       for d in deltas]))
+                history.append(losses)
+
+        directions = jnp.stack([assemble_direction(d) for d in deltas])
+        jax.block_until_ready(directions)
+        elapsed = time.time() - t0
+        hist = np.stack([np.asarray(h) for h in history], axis=1) \
+            if history else np.zeros((P, 0), np.float32)
+        info = {"history": hist, "time": elapsed,
+                "iterations": cur_iteration, "prompts": list(text_prompts)}
+        if first_step_done is not None and cur_iteration > 1:
+            info["first_step_time"] = first_step_done - t0
+            info["steady_ms_per_step"] = (
+                1e3 * (elapsed - (first_step_done - t0))
+                / (cur_iteration - 1))
+        return directions, info

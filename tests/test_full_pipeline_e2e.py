@@ -181,3 +181,50 @@ def test_lec_from_fabricated_checkpoint(pipeline_dir):
 
     lec = calculate_lec(psp, iter(batches), edit, inverse_edit, n_batches=2)
     assert np.isfinite(lec)
+
+
+@pytest.mark.slow
+def test_find_direction_cli_batch_prompts(pipeline_dir, pkl_path):
+    """--text_prompts + --batch_prompts trains every prompt in ONE vmapped
+    run and writes one direction_<prompt>.npz per prompt."""
+    from stylemc_tpu.cli.generate_w import main as generate_w
+    from stylemc_tpu.cli.w_s_converter import main as w_s_converter
+    from stylemc_tpu.cli.find_direction import main as find_direction
+
+    runner = CliRunner()
+    d = str(pipeline_dir)
+    w_file = os.path.join(d, "bp_w.npz")
+    r = runner.invoke(generate_w, ["--network", pkl_path, "--seeds", "1-4",
+                                   "--trunc", "0.7", "--out_file", w_file],
+                      catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    s_file = os.path.join(d, "bp_s.npz")
+    r = runner.invoke(w_s_converter, ["--network", pkl_path,
+                                      "--projected-w", w_file,
+                                      "--out_file", s_file],
+                      catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+
+    outdir = os.path.join(d, "bp_out")
+    prompts = ["a happy face", "an old face"]
+    r = runner.invoke(find_direction,
+                      ["--network", pkl_path, "--s_input", s_file,
+                       "--outdir", outdir,
+                       "--text_prompts", "|".join(prompts),
+                       "--batch_prompts",
+                       "--resolution", str(RES), "--batch_size", "2",
+                       "--n_epochs", "1", "--clip_type", "small",
+                       "--allow_random_init", "--data_parallel"],
+                      catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    assert "in one vmapped run" in r.output
+    ds = []
+    for prompt in prompts:
+        f = os.path.join(outdir,
+                         f"direction_{prompt.replace(' ', '_')}.npz")
+        assert os.path.exists(f), r.output
+        arr = np.load(f)["s"]
+        assert arr.shape == (1, N_STYLE_CHANNELS, 512)
+        assert np.abs(arr).max() > 0
+        ds.append(arr)
+    assert not np.allclose(ds[0], ds[1])
