@@ -10,6 +10,9 @@ Endpoints:
   GET /healthz                  → 200 "ok"
   GET /edit?seeds=1-4&power=2.0[&pairs=1][&format=png]
                                 → image grid (vertical stack) of edits
+  POST /edit_image?power=2.0[&pairs=1][&direction=NAME][&format=png]
+       body: one JPEG/PNG photo → e4e-inverted, edited render
+       (requires --e4e_ckpt; the full real-image pipeline in one request)
   GET /stats                    → JSON request counters + latency summary
 
 Usage:
@@ -62,6 +65,18 @@ class EditService:
             self._latencies.append(time.perf_counter() - t0)
             self.requests += 1
         return imgs
+
+    def edit_images(self, imgs_u8: np.ndarray, power: float, pairs: bool,
+                    direction_name=None) -> np.ndarray:
+        t0 = time.perf_counter()
+        with self._lock:
+            out = self.editor.edit_images(imgs_u8, change_power=power,
+                                          pairs=pairs,
+                                          direction_name=direction_name)
+        with self._lock:
+            self._latencies.append(time.perf_counter() - t0)
+            self.requests += 1
+        return out
 
     def stats(self):
         with self._lock:
@@ -121,6 +136,42 @@ def make_handler(service: EditService):
                 service.errors += 1
                 self._send(500, f"error: {e}".encode())
 
+        def do_POST(self):
+            url = urlparse(self.path)
+            try:
+                if url.path != "/edit_image":
+                    self._send(404, b"not found")
+                    return
+                if getattr(service.editor, "_invert", None) is None:
+                    self._send(400, b"no e4e inverter loaded (--e4e_ckpt)")
+                    return
+                length = int(self.headers.get("Content-Length", "0"))
+                if not 0 < length <= 32 * 1024 * 1024:
+                    self._send(400, b"need a JPEG/PNG body (max 32 MB)")
+                    return
+                from PIL import Image
+                img = Image.open(io.BytesIO(
+                    self.rfile.read(length))).convert("RGB")
+                # the e4e eval transform resizes to 256² (reference
+                # infer.py:73-76); real deployments should FFHQ-align first
+                # (cv/align.py) — the offline pipeline does
+                img = img.resize((256, 256), Image.BICUBIC)
+                q = parse_qs(url.query)
+                power = float(q.get("power", ["2.0"])[0])
+                pairs = q.get("pairs", ["0"])[0] not in ("0", "false")
+                fmt = q.get("format", ["jpeg"])[0].lower()
+                dname = q.get("direction", [None])[0]
+                out = service.edit_images(
+                    np.asarray(img, np.uint8)[None], power, pairs,
+                    direction_name=dname)
+                buf = io.BytesIO()
+                Image.fromarray(out[0], "RGB").save(
+                    buf, format="PNG" if fmt == "png" else "JPEG")
+                self._send(200, buf.getvalue(), f"image/{fmt}")
+            except Exception as e:  # noqa: BLE001 — serving must not die
+                service.errors += 1
+                self._send(500, f"error: {e}".encode())
+
     return Handler
 
 
@@ -137,6 +188,9 @@ def build_server(editor, host: str = "127.0.0.1", port: int = 8080):
               help="named-direction zoo entries, repeatable; select per "
                    "request via /edit?direction=NAME")
 @click.option("--mapper", type=str, default=None)
+@click.option("--e4e_ckpt", type=str, default=None,
+              help="e4e checkpoint: enables POST /edit_image (real photo → "
+                   "invert → edit → render in one request)")
 @click.option("--host", type=str, default="127.0.0.1", show_default=True)
 @click.option("--port", type=int, default=8080, show_default=True)
 @click.option("--max_batch", type=int, default=64, show_default=True)
@@ -146,8 +200,8 @@ def build_server(editor, host: str = "127.0.0.1", port: int = 8080):
                    "inference policy (TPU-native); bf16 = fastest")
 @click.option("--warmup/--no-warmup", default=True,
               help="compile every batch bucket before accepting requests")
-def main(network, direction, directions, mapper, host, port, max_batch,
-         precision, warmup):
+def main(network, direction, directions, mapper, e4e_ckpt, host, port,
+         max_batch, precision, warmup):
     from ..serve import BatchEditor
 
     zoo = {}
@@ -158,6 +212,7 @@ def main(network, direction, directions, mapper, host, port, max_batch,
         zoo[name] = path
     editor = BatchEditor.from_files(network, direction=direction,
                                     mapper=mapper, directions=zoo or None,
+                                    e4e_ckpt=e4e_ckpt,
                                     max_batch=max_batch,
                                     precision=precision)
     if warmup:

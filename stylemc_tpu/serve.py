@@ -109,6 +109,66 @@ class BatchEditor:
         self.directions[name] = jax.device_put(
             jnp.asarray(direction, jnp.float32))
 
+    def attach_inverter(self, psp) -> None:
+        """Enable REAL-IMAGE serving: uint8 photos → e4e W+ codes → this
+        generator's S space → edit → render.
+
+        Mirrors the offline pipeline's composition exactly (reference
+        infer.py:104-134 then w_s_converter.py:26-82 on the main network):
+        the pSp DECODER is unused — codes convert to styles through the
+        editor's own generator, so named directions/mappers apply unchanged.
+
+        `psp`: a `models.e4e.psp.PSP` whose stylegan_size matches this
+        editor's generator resolution.
+        """
+        if psp.cfg.stylegan_size != self.cfg.img_resolution:
+            raise ValueError(
+                f"e4e encoder trained for {psp.cfg.stylegan_size}px, "
+                f"editor generator is {self.cfg.img_resolution}px")
+        self._psp = psp
+        self._enc_params = jax.device_put(psp.encoder_params)
+        latent_avg = None if psp.latent_avg is None else \
+            jax.device_put(jnp.asarray(psp.latent_avg, jnp.float32))
+
+        def _invert_u8(gp, enc_params, x_u8):
+            # uint8 NHWC → [-1,1] NCHW (the e4e eval transform:
+            # ToTensor+Normalize(0.5,0.5), reference infer.py:73-76)
+            x = jnp.transpose(x_u8.astype(jnp.float32), (0, 3, 1, 2))
+            x = x / 127.5 - 1.0
+            import dataclasses as _dc
+            codes = _dc.replace(psp, encoder_params=enc_params,
+                                latent_avg=latent_avg).encode(x)
+            return w_to_s(gp, self.cfg, codes)
+
+        self._invert = jax.jit(_invert_u8)
+
+    def invert_images(self, images_u8) -> jnp.ndarray:
+        """uint8 NHWC photos (the e4e input size, 256² for real ckpts) →
+        S-space styles [N, 26, 512]. Requires attach_inverter()."""
+        assert getattr(self, "_invert", None) is not None, \
+            "no inverter attached (attach_inverter / --e4e_ckpt)"
+        x = jnp.asarray(images_u8)
+        assert x.dtype == jnp.uint8 and x.ndim == 4 and x.shape[-1] == 3, \
+            f"expected uint8 [N,H,W,3], got {x.dtype} {x.shape}"
+        outs = []
+        for lo in range(0, x.shape[0], self.buckets[-1]):
+            chunk = x[lo:lo + self.buckets[-1]]
+            b = self._bucket(chunk.shape[0])
+            s = self._invert(self.params, self._enc_params,
+                             self._pad(chunk, b))
+            outs.append(s[:chunk.shape[0]])
+        return jnp.concatenate(outs, axis=0)
+
+    def edit_images(self, images_u8, change_power: float = 2.0,
+                    pairs: bool = False,
+                    direction_name: Optional[str] = None) -> np.ndarray:
+        """Real photos in, edited renders out (pairs=True returns
+        [reconstruction | edited] — 'orig' is the e4e reconstruction, the
+        same left panel the offline pipeline produces)."""
+        return self.edit_styles(self.invert_images(images_u8),
+                                change_power=change_power, pairs=pairs,
+                                direction_name=direction_name)
+
     def _directions_for(self, styles: jnp.ndarray,
                         name: Optional[str] = None) -> jnp.ndarray:
         if name is not None:
@@ -179,9 +239,11 @@ class BatchEditor:
     def from_files(cls, network: str, direction: Optional[str] = None,
                    mapper: Optional[str] = None,
                    directions: Optional[Dict[str, str]] = None,
+                   e4e_ckpt: Optional[str] = None,
                    **kwargs) -> "BatchEditor":
         """directions: {name: path} registers a named-direction zoo on top
-        of (or instead of) the single default `direction`."""
+        of (or instead of) the single default `direction`. e4e_ckpt attaches
+        a real-image inverter (edit_images / the HTTP POST endpoint)."""
         from .io import load_generator, load_state_dict_numpy
         from .models.mapper import params_from_torch_state
 
@@ -193,4 +255,8 @@ class BatchEditor:
         editor = cls(cfg, params, direction=d, mapper_params=mp, **kwargs)
         for name, path in (directions or {}).items():
             editor.add_direction(name, np.load(path)["s"])
+        if e4e_ckpt:
+            from .models.e4e.psp import load_psp_from_checkpoint
+            editor.attach_inverter(load_psp_from_checkpoint(
+                e4e_ckpt, stylegan_size=cfg.img_resolution))
         return editor

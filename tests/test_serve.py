@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from stylemc_tpu.serve import BatchEditor
 from stylemc_tpu.models.stylegan2.generator import (
@@ -168,3 +169,105 @@ def test_http_direction_param(tmp_path):
         assert e.code == 500
     finally:
         server.shutdown()
+
+
+@pytest.mark.slow
+def test_invert_edit_images(tmp_path):
+    """Real-image serving: uint8 photos → e4e encode → the editor
+    generator's S space → edit → render (the offline infer_e4e →
+    w_s_converter → edit composition, served)."""
+    import dataclasses
+    from fabricate import fabricate_e4e_pt
+    from stylemc_tpu.models.e4e.psp import load_psp_from_checkpoint
+    from stylemc_tpu.models.stylegan2.generator import w_to_s
+
+    ckpt = fabricate_e4e_pt(str(tmp_path / "e4e.pt"), stylegan_size=32)
+    psp = load_psp_from_checkpoint(ckpt, stylegan_size=32)
+    editor = _editor()
+    editor.attach_inverter(psp)
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, size=(3, 256, 256, 3), dtype=np.uint8)
+
+    # manual composition oracle
+    x = jnp.transpose(jnp.asarray(imgs, jnp.float32), (0, 3, 1, 2)) \
+        / 127.5 - 1.0
+    codes = psp.encode(x)
+    s_ref = w_to_s(editor.params, editor.cfg, codes)
+    s_srv = editor.invert_images(imgs)
+    np.testing.assert_allclose(np.asarray(s_srv), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    out = editor.edit_images(imgs, change_power=2.0, pairs=True)
+    assert out.shape == (3, 32, 64, 3) and out.dtype == np.uint8
+    left, right = out[:, :, :32].astype(int), out[:, :, 32:].astype(int)
+    assert np.abs(left - right).max() > 0
+    # zero power → reconstruction == edit
+    out0 = editor.edit_images(imgs, change_power=0.0, pairs=True)
+    np.testing.assert_array_equal(out0[:, :, :32], out0[:, :, 32:])
+
+
+def test_attach_inverter_resolution_mismatch(tmp_path):
+    from fabricate import fabricate_e4e_pt
+    from stylemc_tpu.models.e4e.psp import load_psp_from_checkpoint
+
+    ckpt = fabricate_e4e_pt(str(tmp_path / "e4e64.pt"), stylegan_size=64)
+    psp = load_psp_from_checkpoint(ckpt, stylegan_size=64)
+    editor = _editor()
+    with pytest.raises(ValueError, match="64px"):
+        editor.attach_inverter(psp)
+
+
+@pytest.mark.slow
+def test_http_edit_image_post(tmp_path):
+    """POST /edit_image: one photo in, inverted+edited render out; 400
+    without an inverter."""
+    import io
+    import threading
+    import urllib.request
+    import urllib.error
+
+    from PIL import Image
+    from fabricate import fabricate_e4e_pt
+    from stylemc_tpu.models.e4e.psp import load_psp_from_checkpoint
+    from stylemc_tpu.cli.serve import build_server
+
+    editor = _editor()
+    server, service = build_server(editor, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    rng = np.random.RandomState(1)
+    photo = Image.fromarray(
+        rng.randint(0, 256, size=(300, 280, 3), dtype=np.uint8), "RGB")
+    buf = io.BytesIO()
+    photo.save(buf, format="PNG")
+    body = buf.getvalue()
+
+    def post(query=""):
+        req = urllib.request.Request(
+            f"{base}/edit_image{query}", data=body, method="POST",
+            headers={"Content-Type": "image/png"})
+        return urllib.request.urlopen(req)
+
+    try:
+        # no inverter yet → 400
+        try:
+            post()
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        ckpt = fabricate_e4e_pt(str(tmp_path / "e4e.pt"), stylegan_size=32)
+        editor.attach_inverter(load_psp_from_checkpoint(ckpt,
+                                                        stylegan_size=32))
+        r = post("?power=2.0&pairs=1&format=png")
+        assert r.headers["Content-Type"] == "image/png"
+        img = np.asarray(Image.open(io.BytesIO(r.read())))
+        assert img.shape == (32, 64, 3)  # [recon | edited]
+        assert np.abs(img[:, :32].astype(int)
+                      - img[:, 32:].astype(int)).max() > 0
+    finally:
+        server.shutdown()
+        server.server_close()
