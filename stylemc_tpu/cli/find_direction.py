@@ -42,6 +42,10 @@ import numpy as np
                    "P × batch_size may need --remat or a smaller batch.")
 @click.option("--negative_text_prompt", type=str, required=False,
               default="a photo of a face of a masculine man")
+@click.option("--negative_text_prompts", type=str, default=None,
+              help="With --text_prompts: '|'-separated per-prompt negative "
+                   "anchors (must match the prompt count). Default: "
+                   "--negative_text_prompt for every prompt.")
 @click.option("--clip_type", type=str, default="double", show_default=True)
 @click.option("--clip_loss_type", type=str, default="default", show_default=True)
 @click.option("--resolution", type=int, default=256, show_default=True)
@@ -75,8 +79,8 @@ import numpy as np
               help="Batch K optimizer steps into one device dispatch "
                    "(lax.scan) — amortizes dispatch latency; same math")
 def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
-         batch_prompts, negative_text_prompt, clip_type, clip_loss_type,
-         resolution,
+         batch_prompts, negative_text_prompt, negative_text_prompts,
+         clip_type, clip_loss_type, resolution,
          batch_size, learning_rate, n_epochs, resume, identity_loss_coef,
          landmarks_loss_coef, l2_reg_coef, clip_loss_coef, arcface_weights,
          allow_random_init, data_parallel, split_step, bf16,
@@ -91,6 +95,14 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
         text_prompt=text_prompt, negative_text_prompt=negative_text_prompt,
         resolution=resolution, batch_size=batch_size,
         learning_rate=learning_rate, n_epochs=n_epochs), outdir=outdir)
+
+    if negative_text_prompts and not text_prompts:
+        raise click.BadParameter(
+            "--negative_text_prompts requires --text_prompts")
+    if negative_text_prompts and len(negative_text_prompts.split("|")) != \
+            len(text_prompts.split("|")):
+        raise click.BadParameter(
+            "--negative_text_prompts count must match --text_prompts")
 
     print(f'Loading networks from "{network_pkl}"...')
     cfg, params = load_generator(network_pkl)
@@ -160,13 +172,21 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
         engine = DirectionEngine(params, cfg, styles_array, clip_models,
                                  arcface_params, fdc, tokenizer=tokenizer)
         prompts = [p.strip() for p in text_prompts.split("|")]
+        negatives = None
+        if negative_text_prompts:
+            negatives = [p.strip() for p in negative_text_prompts.split("|")]
+            if len(negatives) != len(prompts):
+                raise click.BadParameter(
+                    f"{len(negatives)} negative prompts for "
+                    f"{len(prompts)} prompts")
         if batch_prompts:
             # prompt-axis mesh (sized by P, not batch_size)
             bmesh = data_mesh(max_size=len(prompts)) if data_parallel \
                 else None
             if bmesh is not None and bmesh.devices.size == 1:
                 bmesh = None
-            directions, info = engine.optimize_batch(prompts, mesh=bmesh)
+            directions, info = engine.optimize_batch(
+                prompts, negative_text_prompts=negatives, mesh=bmesh)
             for p, prompt in enumerate(prompts):
                 tag = prompt.replace(" ", "_")
                 np.savez(f"{outdir}/direction_{tag}.npz",
@@ -178,10 +198,12 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
                   + (f", prompt axis over {bmesh.devices.size} devices"
                      if bmesh is not None else ""))
         else:
-            for prompt in prompts:
+            for i, prompt in enumerate(prompts):
                 tp = time.time()
                 direction, info = engine.optimize(
-                    prompt, resume_direction=resume_direction)
+                    prompt,
+                    negative_text_prompt=negatives[i] if negatives else None,
+                    resume_direction=resume_direction)
                 tag = prompt.replace(" ", "_")
                 np.savez(f"{outdir}/direction_{tag}.npz",
                          s=np.asarray(direction))
