@@ -172,13 +172,9 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
         engine = DirectionEngine(params, cfg, styles_array, clip_models,
                                  arcface_params, fdc, tokenizer=tokenizer)
         prompts = [p.strip() for p in text_prompts.split("|")]
-        negatives = None
-        if negative_text_prompts:
-            negatives = [p.strip() for p in negative_text_prompts.split("|")]
-            if len(negatives) != len(prompts):
-                raise click.BadParameter(
-                    f"{len(negatives)} negative prompts for "
-                    f"{len(prompts)} prompts")
+        # count already validated at the top of main()
+        negatives = [p.strip() for p in negative_text_prompts.split("|")] \
+            if negative_text_prompts else None
         if batch_prompts:
             # prompt-axis mesh (sized by P, not batch_size)
             bmesh = data_mesh(max_size=len(prompts)) if data_parallel \

@@ -54,29 +54,26 @@ class EditService:
         self.requests = 0
         self.errors = 0
 
-    def edit(self, seeds, power: float, pairs: bool,
-             direction_name=None) -> np.ndarray:
+    def _timed(self, fn) -> np.ndarray:
         t0 = time.perf_counter()
         with self._lock:
-            imgs = self.editor.edit_seeds(seeds, change_power=power,
-                                          pairs=pairs,
-                                          direction_name=direction_name)
-        with self._lock:
-            self._latencies.append(time.perf_counter() - t0)
-            self.requests += 1
-        return imgs
-
-    def edit_images(self, imgs_u8: np.ndarray, power: float, pairs: bool,
-                    direction_name=None) -> np.ndarray:
-        t0 = time.perf_counter()
-        with self._lock:
-            out = self.editor.edit_images(imgs_u8, change_power=power,
-                                          pairs=pairs,
-                                          direction_name=direction_name)
+            out = fn()
         with self._lock:
             self._latencies.append(time.perf_counter() - t0)
             self.requests += 1
         return out
+
+    def edit(self, seeds, power: float, pairs: bool,
+             direction_name=None) -> np.ndarray:
+        return self._timed(lambda: self.editor.edit_seeds(
+            seeds, change_power=power, pairs=pairs,
+            direction_name=direction_name))
+
+    def edit_images(self, imgs_u8: np.ndarray, power: float, pairs: bool,
+                    direction_name=None) -> np.ndarray:
+        return self._timed(lambda: self.editor.edit_images(
+            imgs_u8, change_power=power, pairs=pairs,
+            direction_name=direction_name))
 
     def stats(self):
         with self._lock:
@@ -86,6 +83,14 @@ class EditService:
             out.update(p50_ms=round(float(np.percentile(lat, 50)), 2),
                        p99_ms=round(float(np.percentile(lat, 99)), 2))
         return out
+
+
+def _edit_query(q):
+    """Shared /edit and /edit_image params → (power, pairs, fmt, name)."""
+    return (float(q.get("power", ["2.0"])[0]),
+            q.get("pairs", ["0"])[0] not in ("0", "false"),
+            q.get("format", ["jpeg"])[0].lower(),
+            q.get("direction", [None])[0])
 
 
 def make_handler(service: EditService):
@@ -99,6 +104,13 @@ def make_handler(service: EditService):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _send_image(self, arr, fmt: str):
+            from PIL import Image
+            buf = io.BytesIO()
+            Image.fromarray(arr, "RGB").save(
+                buf, format="PNG" if fmt == "png" else "JPEG")
+            self._send(200, buf.getvalue(), f"image/{fmt}")
 
         def do_GET(self):
             url = urlparse(self.path)
@@ -118,18 +130,11 @@ def make_handler(service: EditService):
                     if len(seeds) > 256:
                         self._send(400, b"too many seeds (max 256)")
                         return
-                    power = float(q.get("power", ["2.0"])[0])
-                    pairs = q.get("pairs", ["0"])[0] not in ("0", "false")
-                    fmt = q.get("format", ["jpeg"])[0].lower()
-                    dname = q.get("direction", [None])[0]
+                    power, pairs, fmt, dname = _edit_query(q)
                     imgs = service.edit(seeds, power, pairs,
                                         direction_name=dname)
                     grid = np.concatenate(list(imgs), axis=0)  # vstack
-                    from PIL import Image
-                    buf = io.BytesIO()
-                    Image.fromarray(grid, "RGB").save(
-                        buf, format="PNG" if fmt == "png" else "JPEG")
-                    self._send(200, buf.getvalue(), f"image/{fmt}")
+                    self._send_image(grid, fmt)
                 else:
                     self._send(404, b"not found")
             except Exception as e:  # noqa: BLE001 — serving must not die
@@ -142,7 +147,7 @@ def make_handler(service: EditService):
                 if url.path != "/edit_image":
                     self._send(404, b"not found")
                     return
-                if getattr(service.editor, "_invert", None) is None:
+                if not service.editor.has_inverter:
                     self._send(400, b"no e4e inverter loaded (--e4e_ckpt)")
                     return
                 length = int(self.headers.get("Content-Length", "0"))
@@ -156,18 +161,11 @@ def make_handler(service: EditService):
                 # infer.py:73-76); real deployments should FFHQ-align first
                 # (cv/align.py) — the offline pipeline does
                 img = img.resize((256, 256), Image.BICUBIC)
-                q = parse_qs(url.query)
-                power = float(q.get("power", ["2.0"])[0])
-                pairs = q.get("pairs", ["0"])[0] not in ("0", "false")
-                fmt = q.get("format", ["jpeg"])[0].lower()
-                dname = q.get("direction", [None])[0]
+                power, pairs, fmt, dname = _edit_query(parse_qs(url.query))
                 out = service.edit_images(
                     np.asarray(img, np.uint8)[None], power, pairs,
                     direction_name=dname)
-                buf = io.BytesIO()
-                Image.fromarray(out[0], "RGB").save(
-                    buf, format="PNG" if fmt == "png" else "JPEG")
-                self._send(200, buf.getvalue(), f"image/{fmt}")
+                self._send_image(out[0], fmt)
             except Exception as e:  # noqa: BLE001 — serving must not die
                 service.errors += 1
                 self._send(500, f"error: {e}".encode())

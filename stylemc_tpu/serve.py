@@ -74,6 +74,7 @@ class BatchEditor:
         self.mapper_neg_slope = mapper_neg_slope
         self.truncation_psi = truncation_psi
         self.noise_mode = noise_mode
+        self._invert = None  # set by attach_inverter
         self.buckets = [b for b in (1, 2, 4, 8, 16, 32, 64) if b <= max_batch]
 
         self._styles_from_z = jax.jit(
@@ -121,31 +122,39 @@ class BatchEditor:
         `psp`: a `models.e4e.psp.PSP` whose stylegan_size matches this
         editor's generator resolution.
         """
+        import dataclasses as _dc
+
         if psp.cfg.stylegan_size != self.cfg.img_resolution:
             raise ValueError(
                 f"e4e encoder trained for {psp.cfg.stylegan_size}px, "
                 f"editor generator is {self.cfg.img_resolution}px")
-        self._psp = psp
         self._enc_params = jax.device_put(psp.encoder_params)
         latent_avg = None if psp.latent_avg is None else \
             jax.device_put(jnp.asarray(psp.latent_avg, jnp.float32))
+        # decoder-free copy for the closure: only encode() runs here, and
+        # the full pSp would pin its (unused) decoder pytree for the
+        # editor's lifetime
+        slim_psp = _dc.replace(psp, decoder_params={},
+                               latent_avg=latent_avg)
 
         def _invert_u8(gp, enc_params, x_u8):
             # uint8 NHWC → [-1,1] NCHW (the e4e eval transform:
             # ToTensor+Normalize(0.5,0.5), reference infer.py:73-76)
             x = jnp.transpose(x_u8.astype(jnp.float32), (0, 3, 1, 2))
             x = x / 127.5 - 1.0
-            import dataclasses as _dc
-            codes = _dc.replace(psp, encoder_params=enc_params,
-                                latent_avg=latent_avg).encode(x)
+            codes = _dc.replace(slim_psp, encoder_params=enc_params).encode(x)
             return w_to_s(gp, self.cfg, codes)
 
         self._invert = jax.jit(_invert_u8)
 
+    @property
+    def has_inverter(self) -> bool:
+        return self._invert is not None
+
     def invert_images(self, images_u8) -> jnp.ndarray:
         """uint8 NHWC photos (the e4e input size, 256² for real ckpts) →
         S-space styles [N, 26, 512]. Requires attach_inverter()."""
-        assert getattr(self, "_invert", None) is not None, \
+        assert self._invert is not None, \
             "no inverter attached (attach_inverter / --e4e_ckpt)"
         x = jnp.asarray(images_u8)
         assert x.dtype == jnp.uint8 and x.ndim == 4 and x.shape[-1] == 3, \
