@@ -33,6 +33,22 @@ def data_mesh(max_size: Optional[int] = None,
     return Mesh(np.array(devices[:n]), axis_names=("data",))
 
 
+def zoo_mesh(n_prompt: int, devices: Optional[Sequence] = None) -> Mesh:
+    """2-axis ('prompt', 'data') mesh for direction-zoo training.
+
+    Prompts are independent tasks (zero cross-prompt collectives), so the
+    'prompt' axis is pure task parallelism over ICI; within each prompt
+    group the per-prompt image batch shards over 'data' with XLA-inserted
+    grad psums — `DirectionEngine.optimize_batch` composes both. n_prompt
+    must divide the device count; the remainder becomes the 'data' axis.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % n_prompt == 0, (n, n_prompt)
+    grid = np.array(devices).reshape(n_prompt, n // n_prompt)
+    return Mesh(grid, axis_names=("prompt", "data"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data'."""
     return NamedSharding(mesh, P("data"))

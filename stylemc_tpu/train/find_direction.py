@@ -724,6 +724,8 @@ class DirectionEngine:
                                arcface_params, fdc)
         self._loss_fn = loss_fn
         self._batched_step = None  # built lazily by optimize_batch
+        self._batched_step_2d = None       # 2-axis (prompt, data) variant
+        self._batched_step_2d_mesh = None
         self.optimizer = optax.inject_hyperparams(optax.sgd)(
             learning_rate=fdc.learning_rate)
         self.model_params = {"gen": gen_params, "arc": arcface_params,
@@ -826,7 +828,7 @@ class DirectionEngine:
                 / (cur_iteration - 1))
         return direction, info
 
-    def _ensure_batched_step(self):
+    def _ensure_batched_step(self, mesh=None):
         """jit(vmap(step)) over a leading PROMPT axis.
 
         Per-prompt work (delta, optimizer state, CLIP text anchors) maps over
@@ -836,10 +838,25 @@ class DirectionEngine:
         a mesh scales a direction zoo linearly across chips with zero ICI
         traffic (each device trains its own prompts against replicated
         weights).
+
+        With a 2-axis ('prompt', 'data') mesh (`parallel.mesh.zoo_mesh`) the
+        per-prompt image batch ADDITIONALLY shards over 'data':
+        `spmd_axis_name="prompt"` stamps the vmapped dimension into every
+        internal sharding annotation, and a `with_sharding_constraint` on the
+        gathered batch rows pins them to P('prompt', 'data') — GSPMD then
+        partitions the whole synthesis/CLIP/ArcFace tower both ways and
+        inserts the grad psum over 'data' (delta is replicated along it).
         """
-        if self._batched_step is not None:
-            return
+        two_axis = mesh is not None and "prompt" in mesh.axis_names
+        if two_axis:
+            if self._batched_step_2d_mesh is mesh:
+                return self._batched_step_2d
+        elif self._batched_step is not None:
+            return self._batched_step
         loss_fn, optimizer = self._loss_fn, self.optimizer
+        if two_axis:
+            batch_sh = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("data"))
 
         def one(delta_s, opt_state, text_dirs, idx, lr, all_s, all_id,
                 all_clip, mp):
@@ -848,14 +865,24 @@ class DirectionEngine:
             styles = jnp.take(all_s, idx, axis=0)
             id_f = jnp.take(all_id, idx, axis=0)
             clip_f = tuple(jnp.take(c, idx, axis=0) for c in all_clip)
+            if two_axis:
+                styles, id_f, clip_f = jax.tree_util.tree_map(
+                    lambda x: jax.lax.with_sharding_constraint(x, batch_sh),
+                    (styles, id_f, clip_f))
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 delta_s, styles, id_f, clip_f, mp, text_dirs)
             updates, opt_state = optimizer.update(grads, opt_state, delta_s)
             delta_s = optax.apply_updates(delta_s, updates)
             return delta_s, opt_state, loss, aux
 
-        self._batched_step = jax.jit(jax.vmap(
-            one, in_axes=(0, 0, 0) + (None,) * 6))
+        step = jax.jit(jax.vmap(
+            one, in_axes=(0, 0, 0) + (None,) * 6,
+            spmd_axis_name="prompt" if two_axis else None))
+        if two_axis:
+            self._batched_step_2d, self._batched_step_2d_mesh = step, mesh
+        else:
+            self._batched_step = step
+        return step
 
     def optimize_batch(self, text_prompts: List[str],
                        negative_text_prompts: Optional[List[str]] = None,
@@ -873,9 +900,15 @@ class DirectionEngine:
         serial `optimize()` call (both draw RandomState(fdc.seed)), so
         results match the serial path per prompt.
 
-        `mesh`: optional 1-axis jax Mesh — the prompt axis is sharded over
-        its devices (len(text_prompts) must divide evenly); everything else
-        replicates. No collectives are emitted (prompts are independent).
+        `mesh`: optional jax Mesh.
+          * 1-axis: the prompt axis is sharded over its devices
+            (len(text_prompts) must divide evenly); everything else
+            replicates. No collectives are emitted (prompts are independent).
+          * 2-axis ('prompt', 'data') (`parallel.mesh.zoo_mesh`): prompts
+            shard over 'prompt' AND each prompt's image batch shards over
+            'data' (fdc.batch_size must divide the 'data' size) — zoo
+            task-parallelism composed with per-prompt data parallelism,
+            the full-pod deployment shape.
 
         Returns (directions [P, 1, 26, 512], info) — info["history"] has
         shape [P, steps].
@@ -901,19 +934,27 @@ class DirectionEngine:
         opt_states = jax.vmap(self.optimizer.init)(deltas)
 
         if mesh is not None:
-            pspec = jax.sharding.PartitionSpec("data")
-            shard = jax.sharding.NamedSharding(mesh, pspec)
-            assert P % mesh.devices.size == 0, (
-                f"{P} prompts over {mesh.devices.size} devices")
-            deltas = jax.device_put(deltas, shard)
+            # prompt axis name: 'prompt' on a 2-axis zoo mesh, else the
+            # single axis of a 1-axis mesh
+            p_axis = "prompt" if "prompt" in mesh.axis_names \
+                else mesh.axis_names[0]
+            n_p = mesh.shape[p_axis]
+            assert P % n_p == 0, f"{P} prompts over {n_p} '{p_axis}' shards"
+            if "prompt" in mesh.axis_names and "data" in mesh.axis_names:
+                assert fdc.batch_size % mesh.shape["data"] == 0, (
+                    f"batch {fdc.batch_size} over {mesh.shape['data']} "
+                    "'data' shards")
+            deltas = jax.device_put(
+                deltas, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(p_axis)))
             opt_states, text_dirs_b = jax.tree_util.tree_map(
                 lambda x: jax.device_put(
                     x, jax.sharding.NamedSharding(
                         mesh, jax.sharding.PartitionSpec(
-                            *(("data",) + (None,) * (x.ndim - 1))))),
+                            *((p_axis,) + (None,) * (x.ndim - 1))))),
                 (opt_states, text_dirs_b))
 
-        self._ensure_batched_step()
+        batched_step = self._ensure_batched_step(mesh)
         num_batches = math.ceil(self.n_items / fdc.batch_size)
         total_iterations = num_batches * fdc.n_epochs
         rng = np.random.RandomState(fdc.seed)
@@ -927,7 +968,7 @@ class DirectionEngine:
                 lr = cosine_lr(fdc.learning_rate, cur_iteration,
                                total_iterations)
                 idx = rng.randint(0, self.n_items, size=fdc.batch_size)
-                deltas, opt_states, losses, auxs = self._batched_step(
+                deltas, opt_states, losses, auxs = batched_step(
                     deltas, opt_states, text_dirs_b,
                     jnp.asarray(idx, jnp.int32), jnp.float32(lr),
                     self.styles_array, self.id_feats, self.clip_feats,

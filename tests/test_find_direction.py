@@ -427,3 +427,36 @@ def test_direction_engine_optimize_batch_prompt_sharded_mesh(setup):
     d_plain, _ = eng.optimize_batch(prompts)
     cos = _direction_cosines(np.asarray(d_mesh), np.asarray(d_plain))
     assert (cos > 0.9999).all(), cos
+
+
+def test_direction_engine_optimize_batch_zoo_mesh_2d(setup):
+    """2-axis ('prompt', 'data') mesh: prompts shard over 'prompt' AND each
+    prompt's image batch shards over 'data' (zoo task-parallelism composed
+    with per-prompt DP — the full-pod deployment shape). Must agree with the
+    unsharded vmapped path at the domain level (sharding changes XLA
+    reduction partitioning; same noise class as the 1-axis test)."""
+    gen_cfg, gen_params, clip_models, arcface, styles = setup
+    from stylemc_tpu.train.find_direction import DirectionEngine
+    from stylemc_tpu.parallel.mesh import zoo_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    fdc = FindDirectionConfig(resolution=32, batch_size=4, n_epochs=1,
+                              learning_rate=0.5, clip_type="small",
+                              arcface_layout=TINY_ARCFACE_LAYOUT,
+                              text_prompt="a smiling face",
+                              negative_text_prompt="a face")
+    eng = DirectionEngine(gen_params, gen_cfg, styles, clip_models, arcface,
+                          fdc, tokenizer=FallbackTokenizer())
+    prompts = ["a smiling face", "an old face"]
+    mesh = zoo_mesh(2)  # 2 prompt shards x 4 data shards over 8 CPU devices
+    assert dict(mesh.shape) == {"prompt": 2, "data": 4}
+    d_mesh, info = eng.optimize_batch(prompts, mesh=mesh)
+    # outputs stay prompt-sharded end to end
+    assert np.isfinite(info["history"]).all()
+    d_plain, _ = eng.optimize_batch(prompts)
+    cos = _direction_cosines(np.asarray(d_mesh), np.asarray(d_plain))
+    assert (cos > 0.9999).all(), cos
+    norms_m = np.linalg.norm(np.asarray(d_mesh).reshape(2, -1), axis=1)
+    norms_p = np.linalg.norm(np.asarray(d_plain).reshape(2, -1), axis=1)
+    np.testing.assert_allclose(norms_m, norms_p, rtol=1e-3)
