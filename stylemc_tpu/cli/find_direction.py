@@ -176,11 +176,12 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
         negatives = [p.strip() for p in negative_text_prompts.split("|")] \
             if negative_text_prompts else None
         if batch_prompts:
-            # prompt-axis mesh (sized by P, not batch_size)
-            bmesh = data_mesh(max_size=len(prompts)) if data_parallel \
-                else None
-            if bmesh is not None and bmesh.devices.size == 1:
-                bmesh = None
+            # best mesh for the zoo: prompt task-parallelism first, leftover
+            # devices become per-prompt batch DP (2-axis zoo mesh)
+            from ..parallel.mesh import best_zoo_mesh
+
+            bmesh = best_zoo_mesh(len(prompts), batch_size) \
+                if data_parallel else None
             directions, info = engine.optimize_batch(
                 prompts, negative_text_prompts=negatives, mesh=bmesh)
             for p, prompt in enumerate(prompts):
@@ -191,7 +192,7 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
             print(f"{len(prompts)} prompts in one vmapped run: "
                   f"{info['time']:.1f} s"
                   + (f" ({steady:.0f} ms/step steady)" if steady else "")
-                  + (f", prompt axis over {bmesh.devices.size} devices"
+                  + (f", mesh {dict(bmesh.shape)}"
                      if bmesh is not None else ""))
         else:
             for i, prompt in enumerate(prompts):

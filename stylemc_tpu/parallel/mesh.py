@@ -49,6 +49,36 @@ def zoo_mesh(n_prompt: int, devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(grid, axis_names=("prompt", "data"))
 
 
+def best_zoo_mesh(n_prompts: int, batch_size: int,
+                  devices: Optional[Sequence] = None) -> Optional[Mesh]:
+    """Pick the best mesh for direction-zoo training on these devices.
+
+    Prefers the largest 'prompt' axis (task parallelism is collective-free),
+    then spends leftover devices on 'data' (per-prompt batch DP) when the
+    batch divides evenly. Returns a 2-axis ('prompt','data') mesh, a 1-axis
+    ('data',) prompt mesh (legacy optimize_batch sharding) when no data
+    split fits, or None when only one device would be used.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    d = len(devices)
+    if d <= 1:
+        return None
+    for n_p in range(min(n_prompts, d), 0, -1):
+        if d % n_p or n_prompts % n_p:
+            continue
+        n_d = d // n_p
+        if n_d == 1:
+            return data_mesh(devices=devices[:n_p]) if n_p > 1 else None
+        if batch_size % n_d == 0:
+            return zoo_mesh(n_p, devices=devices)
+    # no (prompt, data) factorization fits — fall back to sharding prompts
+    # over the largest divisor-compatible prefix of the devices
+    for n_p in range(min(n_prompts, d), 1, -1):
+        if n_prompts % n_p == 0:
+            return data_mesh(devices=devices[:n_p])
+    return None
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data'."""
     return NamedSharding(mesh, P("data"))

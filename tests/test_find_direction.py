@@ -429,6 +429,26 @@ def test_direction_engine_optimize_batch_prompt_sharded_mesh(setup):
     assert (cos > 0.9999).all(), cos
 
 
+def test_best_zoo_mesh_selection():
+    """Mesh picker: largest prompt axis first, leftovers become batch DP
+    when the batch divides; falls back to 1-axis prompt sharding; None on
+    a single device."""
+    from stylemc_tpu.parallel.mesh import best_zoo_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    devs = jax.devices()[:8]
+    m = best_zoo_mesh(2, 4, devices=devs)      # 2 prompts, batch 4
+    assert dict(m.shape) == {"prompt": 2, "data": 4}
+    m = best_zoo_mesh(8, 4, devices=devs)      # enough prompts: all-task
+    assert m.axis_names == ("data",) and m.devices.size == 8
+    m = best_zoo_mesh(4, 2, devices=devs)      # 4 prompts x 2-way DP
+    assert dict(m.shape) == {"prompt": 4, "data": 2}
+    m = best_zoo_mesh(3, 5, devices=devs[:4])  # nothing divides: 3 over 3
+    assert m.axis_names == ("data",) and m.devices.size == 3
+    assert best_zoo_mesh(4, 4, devices=devs[:1]) is None
+
+
 def test_direction_engine_optimize_batch_zoo_mesh_2d(setup):
     """2-axis ('prompt', 'data') mesh: prompts shard over 'prompt' AND each
     prompt's image batch shards over 'data' (zoo task-parallelism composed
