@@ -19,6 +19,34 @@ import click
 import numpy as np
 
 
+def _resolve_zoo_resume(resume, prompts):
+    """Per-prompt resume directions for --batch_prompts.
+
+    `resume` may be a single .npz (reference semantics — every prompt
+    resumes from it) or a directory: each prompt looks up
+    direction_{tag}.npz, then direction_last_{tag}.npz; prompts with no
+    file keep the fresh init. Returns None when nothing resolves.
+    """
+    if not resume:
+        return None
+    if os.path.isdir(resume):
+        out = []
+        for p in prompts:
+            tag = p.replace(" ", "_")
+            d = None
+            for name in (f"direction_{tag}.npz", f"direction_last_{tag}.npz"):
+                path = os.path.join(resume, name)
+                if os.path.exists(path):
+                    d = np.load(path)["s"].astype(np.float32)
+                    print(f"Resuming {p!r} from {path}")
+                    break
+            out.append(d)
+        return out if any(d is not None for d in out) else None
+    d = np.load(resume)["s"].astype(np.float32)
+    print(f"Resuming all {len(prompts)} prompts from {resume}")
+    return [d] * len(prompts)
+
+
 @click.command()
 @click.option("--network", "network_pkl", required=True)
 @click.option("--noise-mode", type=click.Choice(["const", "random", "none"]),
@@ -182,8 +210,19 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
 
             bmesh = best_zoo_mesh(len(prompts), batch_size) \
                 if data_parallel else None
+
+            def zoo_callback(it, losses, auxs, lr, dirs):
+                logger.log({"loss_mean": float(np.mean(losses)), "lr": lr},
+                           step=it)
+                if it % 1000 == 990:
+                    for p, pr in enumerate(prompts):
+                        np.savez(f"{outdir}/direction_last_"
+                                 f"{pr.replace(' ', '_')}.npz", s=dirs[p])
+
             directions, info = engine.optimize_batch(
-                prompts, negative_text_prompts=negatives, mesh=bmesh)
+                prompts, negative_text_prompts=negatives, mesh=bmesh,
+                resume_directions=_resolve_zoo_resume(resume, prompts),
+                callback=zoo_callback)
             for p, prompt in enumerate(prompts):
                 tag = prompt.replace(" ", "_")
                 np.savez(f"{outdir}/direction_{tag}.npz",

@@ -35,7 +35,7 @@ import dataclasses
 import functools
 import math
 import time
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -887,6 +887,7 @@ class DirectionEngine:
     def optimize_batch(self, text_prompts: List[str],
                        negative_text_prompts: Optional[List[str]] = None,
                        mesh=None,
+                       resume_directions: Optional[Sequence] = None,
                        callback: Optional[Callable] = None):
         """Train P directions SIMULTANEOUSLY in one vmapped graph.
 
@@ -926,11 +927,19 @@ class DirectionEngine:
             lambda *leaves: jnp.stack(leaves), *per_prompt)
 
         # identical init to optimize(): every prompt starts from the same
-        # PRNGKey(fdc.seed) draw
+        # PRNGKey(fdc.seed) draw; per-prompt resume_directions (None entries
+        # keep the fresh init) mirror optimize()'s resume_direction
         delta0 = jax.random.normal(
             jax.random.PRNGKey(fdc.seed),
             (1, len(TRAINABLE), STYLE_DIM), jnp.float32) * 1e-3
-        deltas = jnp.broadcast_to(delta0, (P,) + delta0.shape)
+        if resume_directions is not None:
+            assert len(resume_directions) == P, (len(resume_directions), P)
+            deltas = jnp.stack([
+                delta0 if d is None
+                else jnp.asarray(d, jnp.float32)[:, TRAINABLE]
+                for d in resume_directions])
+        else:
+            deltas = jnp.broadcast_to(delta0, (P,) + delta0.shape)
         opt_states = jax.vmap(self.optimizer.init)(deltas)
 
         if mesh is not None:

@@ -429,6 +429,53 @@ def test_direction_engine_optimize_batch_prompt_sharded_mesh(setup):
     assert (cos > 0.9999).all(), cos
 
 
+def test_optimize_batch_resume_directions(setup):
+    """Per-prompt resume: entry p of resume_directions seeds prompt p's
+    delta exactly as optimize(resume_direction=...) does; None entries keep
+    the fresh init."""
+    gen_cfg, gen_params, clip_models, arcface, styles = setup
+    from stylemc_tpu.train.find_direction import DirectionEngine
+
+    fdc = FindDirectionConfig(resolution=32, batch_size=2, n_epochs=1,
+                              learning_rate=0.5, clip_type="small",
+                              arcface_layout=TINY_ARCFACE_LAYOUT,
+                              text_prompt="a smiling face",
+                              negative_text_prompt="a face")
+    eng = DirectionEngine(gen_params, gen_cfg, styles, clip_models, arcface,
+                          fdc, tokenizer=FallbackTokenizer())
+    prompts = ["a smiling face", "an old face"]
+    rng = np.random.RandomState(7)
+    d_resume = rng.randn(1, N_STYLE_CHANNELS, 512).astype(np.float32) * 0.05
+
+    d_batch, _ = eng.optimize_batch(prompts,
+                                    resume_directions=[d_resume, None])
+    d_serial0, _ = eng.optimize(prompts[0], resume_direction=d_resume)
+    d_serial1, _ = eng.optimize(prompts[1])
+    cos = _direction_cosines(np.asarray(d_batch),
+                             np.stack([np.asarray(d_serial0),
+                                       np.asarray(d_serial1)]))
+    assert (cos > 0.9999).all(), cos
+
+
+def test_resolve_zoo_resume(tmp_path):
+    from stylemc_tpu.cli.find_direction import _resolve_zoo_resume
+
+    prompts = ["a smiling face", "an old face"]
+    assert _resolve_zoo_resume(None, prompts) is None
+    # directory: per-prompt lookup, missing entries stay None
+    d = np.zeros((1, N_STYLE_CHANNELS, 512), np.float32)
+    np.savez(tmp_path / "direction_a_smiling_face.npz", s=d + 1)
+    out = _resolve_zoo_resume(str(tmp_path), prompts)
+    assert out[0].max() == 1.0 and out[1] is None
+    # single file: shared by every prompt
+    np.savez(tmp_path / "one.npz", s=d + 2)
+    out = _resolve_zoo_resume(str(tmp_path / "one.npz"), prompts)
+    assert len(out) == 2 and out[0].max() == 2.0 and out[1].max() == 2.0
+    # directory with no matches → None (fresh init for every prompt)
+    (tmp_path / "empty").mkdir()
+    assert _resolve_zoo_resume(str(tmp_path / "empty"), prompts) is None
+
+
 def test_best_zoo_mesh_selection():
     """Mesh picker: largest prompt axis first, leftovers become batch DP
     when the batch divides; falls back to 1-axis prompt sharding; None on
