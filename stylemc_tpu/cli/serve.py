@@ -2,9 +2,10 @@
 
 The reference has no serving layer (SURVEY.md §1); this is the minimal
 TPU-native one over serve.BatchEditor: pre-compiled bucketed batches,
-device-resident weights, one worker thread owning the device (JAX dispatch
-is not thread-safe across concurrent tracers; requests queue through a
-lock), JPEG/PNG responses.
+device-resident weights, one worker thread owning the device, JPEG/PNG
+responses. Concurrent same-parameter requests coalesce into one batched
+dispatch (--coalesce_ms window, serve.CoalescingDispatcher); --coalesce_ms 0
+falls back to a serial device lock.
 
 Endpoints:
   GET /healthz                  → 200 "ok"
@@ -45,19 +46,34 @@ def _parse_seeds(spec: str):
 
 
 class EditService:
-    """Thread-safe wrapper: one device owner lock + latency stats."""
+    """Thread-safe wrapper: device ownership + latency stats.
 
-    def __init__(self, editor):
+    coalesce_ms > 0 routes requests through a CoalescingDispatcher — its
+    worker thread owns the device and merges concurrent same-parameter
+    requests into one bucketed batch (N single-image requests cost ~one
+    batch-N dispatch instead of N batch-1 dispatches). coalesce_ms == 0
+    serializes requests through a plain lock."""
+
+    def __init__(self, editor, coalesce_ms: float = 0.0,
+                 max_batch: int = 64):
         self.editor = editor
         self._lock = threading.Lock()
+        self._dispatcher = None
+        if coalesce_ms > 0:
+            from ..serve import CoalescingDispatcher
+            self._dispatcher = CoalescingDispatcher(
+                max_batch=max_batch, max_wait_ms=coalesce_ms)
         self._latencies = []
         self.requests = 0
         self.errors = 0
 
     def _timed(self, fn) -> np.ndarray:
         t0 = time.perf_counter()
-        with self._lock:
-            out = fn()
+        if self._dispatcher is None:
+            with self._lock:  # single device owner
+                out = fn()
+        else:
+            out = fn()  # the dispatcher's worker owns the device
         with self._lock:
             self._latencies.append(time.perf_counter() - t0)
             self.requests += 1
@@ -65,12 +81,26 @@ class EditService:
 
     def edit(self, seeds, power: float, pairs: bool,
              direction_name=None) -> np.ndarray:
+        if self._dispatcher is not None:
+            return self._timed(lambda: self._dispatcher.submit(
+                ("seeds", power, pairs, direction_name),
+                np.asarray(seeds, np.int64),
+                lambda arr: self.editor.edit_seeds(
+                    [int(s) for s in arr], change_power=power, pairs=pairs,
+                    direction_name=direction_name)))
         return self._timed(lambda: self.editor.edit_seeds(
             seeds, change_power=power, pairs=pairs,
             direction_name=direction_name))
 
     def edit_images(self, imgs_u8: np.ndarray, power: float, pairs: bool,
                     direction_name=None) -> np.ndarray:
+        if self._dispatcher is not None:
+            return self._timed(lambda: self._dispatcher.submit(
+                ("image", power, pairs, direction_name),
+                np.asarray(imgs_u8),
+                lambda batch: self.editor.edit_images(
+                    batch, change_power=power, pairs=pairs,
+                    direction_name=direction_name)))
         return self._timed(lambda: self.editor.edit_images(
             imgs_u8, change_power=power, pairs=pairs,
             direction_name=direction_name))
@@ -79,6 +109,9 @@ class EditService:
         with self._lock:
             lat = np.asarray(self._latencies[-1000:]) * 1e3
         out = {"requests": self.requests, "errors": self.errors}
+        if self._dispatcher is not None:
+            out.update(batched_calls=self._dispatcher.batched_calls,
+                       coalesced_items=self._dispatcher.coalesced_items)
         if lat.size:
             out.update(p50_ms=round(float(np.percentile(lat, 50)), 2),
                        p99_ms=round(float(np.percentile(lat, 99)), 2))
@@ -173,8 +206,10 @@ def make_handler(service: EditService):
     return Handler
 
 
-def build_server(editor, host: str = "127.0.0.1", port: int = 8080):
-    service = EditService(editor)
+def build_server(editor, host: str = "127.0.0.1", port: int = 8080,
+                 coalesce_ms: float = 0.0, max_batch: int = 64):
+    service = EditService(editor, coalesce_ms=coalesce_ms,
+                          max_batch=max_batch)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     return server, service
 
@@ -198,8 +233,12 @@ def build_server(editor, host: str = "127.0.0.1", port: int = 8080):
                    "inference policy (TPU-native); bf16 = fastest")
 @click.option("--warmup/--no-warmup", default=True,
               help="compile every batch bucket before accepting requests")
+@click.option("--coalesce_ms", type=float, default=3.0, show_default=True,
+              help="merge concurrent same-parameter requests arriving "
+                   "within this window into one batched dispatch; 0 "
+                   "disables (serial lock)")
 def main(network, direction, directions, mapper, e4e_ckpt, host, port,
-         max_batch, precision, warmup):
+         max_batch, precision, warmup, coalesce_ms):
     from ..serve import BatchEditor
 
     zoo = {}
@@ -216,7 +255,8 @@ def main(network, direction, directions, mapper, e4e_ckpt, host, port,
     if warmup:
         print("warming up (compiling batch buckets)...")
         editor.warmup()
-    server, _ = build_server(editor, host, port)
+    server, _ = build_server(editor, host, port,
+                             coalesce_ms=coalesce_ms, max_batch=max_batch)
     print(f"serving on http://{host}:{port}  (/edit?seeds=1-4&power=2.0)")
     server.serve_forever()
 

@@ -269,3 +269,107 @@ class BatchEditor:
             editor.attach_inverter(load_psp_from_checkpoint(
                 e4e_ckpt, stylegan_size=cfg.img_resolution))
         return editor
+
+class CoalescingDispatcher:
+    """Merge concurrent same-parameter requests into one batched dispatch.
+
+    A production TPU server sees many small concurrent requests; dispatching
+    each at batch 1 wastes the pre-compiled larger buckets (batch 8 costs
+    ~2.5x batch 1 on the measured v5e — 3.2x fewer device-dispatches per
+    image). Submissions enqueue and block; one worker thread drains the
+    queue, groups items by `key` (the edit parameters — only identical
+    parameters may share a graph invocation), concatenates each group along
+    axis 0, runs ONE editor call, and splits the result back to the waiting
+    submitters. The first item of a drain waits up to max_wait_ms for
+    company; a full bucket dispatches immediately.
+
+    The worker is also the single device owner (JAX dispatch is not
+    thread-safe across concurrent tracers), replacing the serial lock.
+    """
+
+    _STOP = object()
+
+    def __init__(self, max_batch: int = 64, max_wait_ms: float = 3.0):
+        import queue
+        import threading
+
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self.batched_calls = 0
+        self.coalesced_items = 0
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="coalescing-dispatcher")
+        self._worker.start()
+
+    def submit(self, key, rows: np.ndarray, fn) -> np.ndarray:
+        """Block until `fn` ran on a batch containing `rows`; returns this
+        submission's slice of the result. `fn` must map a [N, ...] batch to
+        [N, ...] results and be identical for every submission with the
+        same `key`."""
+        import threading
+
+        item = {"key": key, "rows": rows, "fn": fn,
+                "ev": threading.Event(), "out": None, "err": None}
+        self._q.put(item)
+        item["ev"].wait()
+        if item["err"] is not None:
+            raise item["err"]
+        return item["out"]
+
+    def close(self):
+        self._q.put(self._STOP)
+        self._worker.join(timeout=5)
+
+    # ------------------------------------------------------------ internal
+
+    def _drain(self, first) -> list:
+        """Collect items for up to max_wait_s / max_batch rows."""
+        import queue
+        import time as _time
+
+        batch = [first]
+        rows = first["rows"].shape[0]
+        deadline = _time.perf_counter() + self.max_wait_s
+        while rows < self.max_batch:
+            remaining = deadline - _time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is self._STOP:
+                self._q.put(item)  # re-deliver to the loop
+                break
+            batch.append(item)
+            rows += item["rows"].shape[0]
+        return batch
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is self._STOP:
+                return
+            batch = self._drain(item)
+            groups: Dict = {}
+            for it in batch:
+                groups.setdefault(it["key"], []).append(it)
+            for items in groups.values():
+                try:
+                    rows = np.concatenate([it["rows"] for it in items],
+                                          axis=0)
+                    out = items[0]["fn"](rows)
+                    self.batched_calls += 1
+                    self.coalesced_items += len(items)
+                    lo = 0
+                    for it in items:
+                        n = it["rows"].shape[0]
+                        it["out"] = out[lo:lo + n]
+                        lo += n
+                except Exception as e:  # noqa: BLE001 — deliver to callers
+                    for it in items:
+                        it["err"] = e
+                finally:
+                    for it in items:
+                        it["ev"].set()

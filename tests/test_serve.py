@@ -271,3 +271,126 @@ def test_http_edit_image_post(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+# ------------------------------------------------------ request coalescing
+
+def test_coalescing_dispatcher_merges():
+    """Concurrent same-key submissions merge into one (or few) batched fn
+    calls; every submitter gets exactly its slice back."""
+    import threading
+
+    from stylemc_tpu.serve import CoalescingDispatcher
+
+    calls = []
+
+    def fn(batch):
+        calls.append(batch.shape[0])
+        return batch * 2
+
+    disp = CoalescingDispatcher(max_batch=16, max_wait_ms=250.0)
+    try:
+        results = {}
+
+        def worker(i):
+            rows = np.full((1, 3), i, np.float32)
+            results[i] = disp.submit("k", rows, fn)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=10)
+        assert len(results) == 8
+        for i, out in results.items():
+            np.testing.assert_array_equal(out, np.full((1, 3), 2 * i))
+        # 8 items should land in very few drains (first waits 250 ms)
+        assert disp.coalesced_items == 8
+        assert disp.batched_calls <= 3, calls
+        assert sum(calls) == 8
+    finally:
+        disp.close()
+
+
+def test_coalescing_dispatcher_groups_by_key_and_errors():
+    """Different keys never share a batch; exceptions reach only their own
+    submitters and the dispatcher keeps serving."""
+    import threading
+
+    from stylemc_tpu.serve import CoalescingDispatcher
+
+    disp = CoalescingDispatcher(max_batch=16, max_wait_ms=150.0)
+    try:
+        outs, errs = {}, {}
+
+        def ok_fn(batch):
+            return batch + 100
+
+        def bad_fn(batch):
+            raise ValueError("boom")
+
+        def worker(i):
+            key, fn = (("a", ok_fn) if i % 2 == 0 else ("b", bad_fn))
+            try:
+                outs[i] = disp.submit(key, np.full((1,), i, np.float32), fn)
+            except ValueError as e:
+                errs[i] = str(e)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=10)
+        assert sorted(outs) == [0, 2, 4] and sorted(errs) == [1, 3, 5]
+        for i in outs:
+            np.testing.assert_array_equal(outs[i], [i + 100])
+        # still alive after the failing group
+        np.testing.assert_array_equal(
+            disp.submit("a", np.zeros((1,), np.float32), ok_fn), [100.0])
+    finally:
+        disp.close()
+
+
+def test_http_coalescing_end_to_end():
+    """build_server(coalesce_ms>0): concurrent /edit requests coalesce into
+    fewer device dispatches (stats expose batched_calls) and responses stay
+    per-request correct."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from stylemc_tpu.cli.serve import build_server
+
+    editor = _editor()
+    editor.warmup()
+    server, service = build_server(editor, host="127.0.0.1", port=0,
+                                   coalesce_ms=200.0, max_batch=4)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        shapes = {}
+
+        def get(i):
+            r = urllib.request.urlopen(
+                f"{base}/edit?seeds={i}&power=2.0&format=png")
+            shapes[i] = np.asarray(Image.open(io.BytesIO(r.read()))).shape
+
+        threads = [threading.Thread(target=get, args=(i,)) for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=30)
+        assert all(shapes[i] == (32, 32, 3) for i in range(4)), shapes
+        stats = json.loads(urllib.request.urlopen(f"{base}/stats").read())
+        assert stats["requests"] == 4
+        assert stats["coalesced_items"] == 4
+        assert stats["batched_calls"] <= 3, stats
+    finally:
+        server.shutdown()
+        server.server_close()
