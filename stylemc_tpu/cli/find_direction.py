@@ -106,17 +106,25 @@ def _resolve_zoo_resume(resume, prompts):
 @click.option("--steps_per_dispatch", type=int, default=1, show_default=True,
               help="Batch K optimizer steps into one device dispatch "
                    "(lax.scan) — amortizes dispatch latency; same math")
+@click.option("--trace_dir", type=str, default=None,
+              help="Capture a jax.profiler trace of the optimization into "
+                   "this directory (view in TensorBoard/Perfetto)")
 def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
          batch_prompts, negative_text_prompt, negative_text_prompts,
          clip_type, clip_loss_type, resolution,
          batch_size, learning_rate, n_epochs, resume, identity_loss_coef,
          landmarks_loss_coef, l2_reg_coef, clip_loss_coef, arcface_weights,
          allow_random_init, data_parallel, split_step, bf16,
-         perception_bf16, remat, steps_per_dispatch):
+         perception_bf16, remat, steps_per_dispatch, trace_dir):
+    import contextlib
+
     from ..io import load_generator
     from ..train.find_direction import FindDirectionConfig, find_direction
     from ..utils.model_zoo import load_clip_models, load_arcface
+    from ..utils.profiling import trace
     from ..parallel.mesh import data_mesh
+
+    tracing = trace(trace_dir) if trace_dir else contextlib.nullcontext()
 
     from ..utils.logging import RunLogger
     logger = RunLogger("stylegan2_latent_mapper", config=dict(
@@ -219,10 +227,11 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
                         np.savez(f"{outdir}/direction_last_"
                                  f"{pr.replace(' ', '_')}.npz", s=dirs[p])
 
-            directions, info = engine.optimize_batch(
-                prompts, negative_text_prompts=negatives, mesh=bmesh,
-                resume_directions=_resolve_zoo_resume(resume, prompts),
-                callback=zoo_callback)
+            with tracing:
+                directions, info = engine.optimize_batch(
+                    prompts, negative_text_prompts=negatives, mesh=bmesh,
+                    resume_directions=_resolve_zoo_resume(resume, prompts),
+                    callback=zoo_callback)
             for p, prompt in enumerate(prompts):
                 tag = prompt.replace(" ", "_")
                 np.savez(f"{outdir}/direction_{tag}.npz",
@@ -236,10 +245,12 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
         else:
             for i, prompt in enumerate(prompts):
                 tp = time.time()
-                direction, info = engine.optimize(
-                    prompt,
-                    negative_text_prompt=negatives[i] if negatives else None,
-                    resume_direction=resume_direction)
+                with tracing if i == 0 else contextlib.nullcontext():
+                    direction, info = engine.optimize(
+                        prompt,
+                        negative_text_prompt=(negatives[i] if negatives
+                                              else None),
+                        resume_direction=resume_direction)
                 tag = prompt.replace(" ", "_")
                 np.savez(f"{outdir}/direction_{tag}.npz",
                          s=np.asarray(direction))
@@ -250,10 +261,11 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
         logger.finish()
         return
 
-    direction, info = find_direction(
-        params, cfg, styles_array, clip_models, arcface_params, fdc,
-        tokenizer=tokenizer, mesh=mesh, resume_direction=resume_direction,
-        callback=callback, landmarks_metric_fn=landmarks_metric_fn)
+    with tracing:
+        direction, info = find_direction(
+            params, cfg, styles_array, clip_models, arcface_params, fdc,
+            tokenizer=tokenizer, mesh=mesh, resume_direction=resume_direction,
+            callback=callback, landmarks_metric_fn=landmarks_metric_fn)
 
     np.savez(f"{outdir}/direction_{prompt_tag}.npz", s=np.asarray(direction))
     steady = info.get("steady_ms_per_step")

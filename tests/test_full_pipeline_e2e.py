@@ -80,14 +80,18 @@ def test_full_pipeline_from_files(pipeline_dir, pkl_path):
     # -- find_direction (CLI, tiny random-init perception) ---------------
     prompt = "a happy face"
     outdir = os.path.join(d, "out")
+    trace_dir = os.path.join(d, "trace")
     r = runner.invoke(find_direction,
                       ["--network", pkl_path, "--s_input", s_file,
                        "--outdir", outdir, "--text_prompt", prompt,
                        "--resolution", str(RES), "--batch_size", "2",
                        "--n_epochs", "1", "--clip_type", "small",
-                       "--allow_random_init", "--no-data_parallel"],
+                       "--allow_random_init", "--no-data_parallel",
+                       "--trace_dir", trace_dir],
                       catch_exceptions=False)
     assert r.exit_code == 0, r.output
+    # --trace_dir captured a jax.profiler trace of the optimization
+    assert any(f for _, _, fs in os.walk(trace_dir) for f in fs), trace_dir
     dir_file = os.path.join(outdir,
                             f"direction_{prompt.replace(' ', '_')}.npz")
     assert os.path.exists(dir_file)
