@@ -8,6 +8,7 @@ CLIS = [
     ("generate_fromS", "apply direction/mapper, render [orig|edited]"),
     ("run_deeplab", "batch face parsing to parsings/ masks"),
     ("align_faces", "FFHQ-align a directory of faces"),
+    ("warp_images", "landmark overlays / piecewise warp on [orig|edited] pairs"),
     ("infer_e4e", "real images → W+ latents (e4e inversion)"),
     ("train_e4e", "train the e4e inversion encoder (Coach)"),
     ("legacy", "convert legacy .pkl → native .npz"),

@@ -187,10 +187,42 @@ def test_all_clis_help():
 
     names = ["generate_w", "w_s_converter", "find_direction",
              "train_latent_mapper", "generate_fromS", "run_deeplab",
-             "align_faces", "infer_e4e", "train_e4e", "legacy",
+             "align_faces", "warp_images", "infer_e4e", "train_e4e", "legacy",
              "calc_metrics", "calc_losses_on_images", "clip_filter",
              "compare_directions", "serve"]
     for name in names:
         mod = importlib.import_module(f"stylemc_tpu.cli.{name}")
         res = CliRunner().invoke(mod.main, ["--help"])
         assert res.exit_code == 0, f"{name}: {res.output}"
+
+
+def test_warp_images_cli(tmp_path, monkeypatch):
+    """warp_images splits [orig|edited] pairs, overlays landmarks on both
+    halves, and appends the piecewise warp (reference warp_images.py body).
+    The landmark pipeline is stubbed — its own parity tests live in
+    test_cv.py / test_reference_parity.py."""
+    from PIL import Image
+    import stylemc_tpu.cli.warp_images as wi
+
+    indir = os.path.join(str(tmp_path), "pairs")
+    outdir = os.path.join(str(tmp_path), "warped")
+    os.makedirs(indir)
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (64, 128, 3), np.uint8)).save(
+        os.path.join(indir, "pair0.jpeg"))
+
+    lm = np.stack([np.linspace(10, 50, 68), np.linspace(10, 50, 68)], 1)
+
+    class FakeLandmarker:
+        def detect_batch(self, images):
+            assert len(images) == 2
+            assert images[0].shape == (64, 64, 3)
+            return np.stack([lm, lm + 2.0])
+
+    monkeypatch.setattr("stylemc_tpu.cv.landmarks.default_landmarker",
+                        lambda **kw: FakeLandmarker())
+    r = CliRunner().invoke(wi.main, ["--indir", indir, "--outdir", outdir],
+                           catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    out = np.asarray(Image.open(os.path.join(outdir, "pair0_warp.jpeg")))
+    assert out.shape == (64, 192, 3)  # overlay | overlay | warp
