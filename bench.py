@@ -168,9 +168,13 @@ def _wait_clean(threshold_ms: float = 150.0) -> float:
 def bench_synthesis(cfg, params, weights_tag):
     import dataclasses
 
+    from stylemc_tpu.models.stylegan2.generator import inference_cfg
+
     # bfloat16 on the top num_fp16_res blocks — the TPU-native analogue of
-    # the fp16 policy NVIDIA's released pkls use
-    cfg = dataclasses.replace(cfg, low_precision_dtype="bfloat16")
+    # the fp16 policy NVIDIA's released pkls use; pad_dilate up-convs (the
+    # fastest pure-forward impl — inference_cfg docstring)
+    cfg = inference_cfg(
+        dataclasses.replace(cfg, low_precision_dtype="bfloat16"))
     with jax.default_device(_cpu()):
         z = jax.random.normal(jax.random.PRNGKey(1), (BATCH, cfg.z_dim))
         ws = mapping(params, cfg, z, truncation_psi=0.7)

@@ -48,7 +48,10 @@ def main(network_pkl, metrics, data_dir, num_gen, batch, inception_path,
     from ..metrics.feature_stats import FeatureStats
     from ..metrics import inception as inc
 
+    from ..models.stylegan2.generator import inference_cfg
+
     cfg, params = load_generator(network_pkl)
+    cfg = inference_cfg(cfg)  # metric feature loops are forward-only
 
     inception_path = inception_path or os.environ.get("STYLEMC_INCEPTION")
     if inception_path and os.path.exists(inception_path):

@@ -51,13 +51,16 @@ def main(network_pkl, network2_pkl, noise_mode, projected_w, s_input,
                         mapper_direction, mapper_directions_batched,
                         to_uint8_hwc)
 
+    from ..models.stylegan2.generator import inference_cfg
+
     print(f'Loading networks from "{network_pkl}"...')
     cfg, params = load_generator(network_pkl)
+    cfg = inference_cfg(cfg)  # render-only CLI: fastest pure-forward impl
     gen2 = None
     if network2_pkl and network2_pkl != network_pkl:
         print(f'Loading networks from "{network2_pkl}"...')
         gen2 = tuple(reversed(load_generator(network2_pkl)))  # (params, cfg)
-        gen2 = (gen2[0], gen2[1])
+        gen2 = (gen2[0], inference_cfg(gen2[1]))
     os.makedirs(outdir, exist_ok=True)
 
     # Branch A: render directly from projected W (generate_fromS.py:89-102).

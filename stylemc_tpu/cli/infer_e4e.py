@@ -34,7 +34,13 @@ def main(images_dir, checkpoint_path, save_dir, align, stylegan_size, batch,
     from ..models.e4e.psp import load_psp_from_checkpoint
     from ..data.images import make_dataset, load_image
 
+    from ..models.stylegan2.generator import inference_cfg
+
     psp = load_psp_from_checkpoint(checkpoint_path, stylegan_size)
+    # inversion is forward-only; decode with the fastest pure-forward impl
+    import dataclasses
+    psp = dataclasses.replace(psp,
+                              decoder_cfg=inference_cfg(psp.decoder_cfg))
     paths = make_dataset(images_dir)
     print(f"inverting {len(paths)} images")
     os.makedirs(save_dir, exist_ok=True)

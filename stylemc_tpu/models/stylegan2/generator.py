@@ -78,6 +78,12 @@ class GeneratorConfig:
     # 'float32' for parity; 'bfloat16' enables mixed precision on the top
     # num_fp16_res blocks (TPU-native analogue of the reference fp16 policy).
     low_precision_dtype: str = "float32"
+    # Fused up-conv implementation for the synthesis blocks (None → the ops
+    # module default, "polyphase"). "polyphase" keeps the autodiff transpose
+    # at low resolution (fastest fwd+bwd → training); "pad_dilate" skips the
+    # output interleave (fastest pure forward → inference/serving). Static
+    # (part of the frozen cfg) so shared jit caches key on it.
+    up_conv_impl: Optional[str] = None
     # rematerialize each synthesis block under autodiff (jax.checkpoint):
     # activations are recomputed in the backward pass instead of stored,
     # cutting peak HBM from O(sum of block activations) to O(largest block)
@@ -292,7 +298,8 @@ def w_to_s(params, cfg: GeneratorConfig, ws):
 
 
 def _synthesis_layer(lp, x, style, resample_filter, up, dtype, noise_mode,
-                     noise_key=None, gain=1.0, conv_clamp=256.0):
+                     noise_key=None, gain=1.0, conv_clamp=256.0,
+                     up_impl=None):
     """One modulated 3x3 conv + noise + fused lrelu."""
     res = x.shape[-1] * up
     noise = None
@@ -307,6 +314,7 @@ def _synthesis_layer(lp, x, style, resample_filter, up, dtype, noise_mode,
     x = modulated_conv2d(
         x.astype(dtype), lp["weight"], style, noise=noise, up=up, padding=1,
         resample_filter=resample_filter, demodulate=True, flip_weight=flip_weight,
+        up_impl=up_impl,
     )
     act_gain = float(np.sqrt(2)) * gain
     act_clamp = conv_clamp * gain if conv_clamp is not None else None
@@ -365,7 +373,8 @@ def synthesis(params, cfg: GeneratorConfig, styles, until_k: Optional[int] = Non
             s_torgb = styles[:, styles_idx + 1, :shapes[2]]
             x = _synthesis_layer(bp["conv1"], x, s_conv1, filt, up=1, dtype=dtype,
                                  noise_mode=noise_mode, noise_key=nk1,
-                                 conv_clamp=cfg.conv_clamp)
+                                 conv_clamp=cfg.conv_clamp,
+                                 up_impl=cfg.up_conv_impl)
             styles_idx += 2
         else:
             s_conv0 = styles[:, styles_idx, :shapes[0]]
@@ -377,10 +386,12 @@ def synthesis(params, cfg: GeneratorConfig, styles, until_k: Optional[int] = Non
                             dtype=dtype):
                 x = _synthesis_layer(bp["conv0"], x, s_conv0, filt, up=2,
                                      dtype=dtype, noise_mode=noise_mode,
-                                     noise_key=nk0, conv_clamp=cfg.conv_clamp)
+                                     noise_key=nk0, conv_clamp=cfg.conv_clamp,
+                                     up_impl=cfg.up_conv_impl)
                 x = _synthesis_layer(bp["conv1"], x, s_conv1, filt, up=1,
                                      dtype=dtype, noise_mode=noise_mode,
-                                     noise_key=nk1, conv_clamp=cfg.conv_clamp)
+                                     noise_key=nk1, conv_clamp=cfg.conv_clamp,
+                                     up_impl=cfg.up_conv_impl)
                 from ...ops.pallas.upfirdn2d_pallas import upsample2d_pallas
                 img = upsample2d_pallas(img, filt)
                 img = img + _torgb_layer(bp["torgb"], x, s_torgb,
@@ -396,10 +407,12 @@ def synthesis(params, cfg: GeneratorConfig, styles, until_k: Optional[int] = Non
             if blend_here:
                 x = _synthesis_layer(bp["conv0"], x, s_conv0, filt, up=2,
                                      dtype=dtype, noise_mode=noise_mode,
-                                     noise_key=nk0, conv_clamp=cfg.conv_clamp)
+                                     noise_key=nk0, conv_clamp=cfg.conv_clamp,
+                                     up_impl=cfg.up_conv_impl)
                 x = _synthesis_layer(bp["conv1"], x, s_conv1, filt, up=1,
                                      dtype=dtype, noise_mode=noise_mode,
-                                     noise_key=nk1, conv_clamp=cfg.conv_clamp)
+                                     noise_key=nk1, conv_clamp=cfg.conv_clamp,
+                                     up_impl=cfg.up_conv_impl)
                 masks = blend_masks[res]
                 if not isinstance(masks, (list, tuple)):
                     masks = [masks]
@@ -426,6 +439,22 @@ def synthesis(params, cfg: GeneratorConfig, styles, until_k: Optional[int] = Non
     if return_features:
         return xs, img
     return img
+
+
+def inference_cfg(cfg: GeneratorConfig) -> GeneratorConfig:
+    """cfg tuned for forward-only (no-grad) use: pad_dilate up-convs.
+
+    Measured on a v5e (.bench/up_fwd_ab.py): pure-forward FFHQ-256
+    synthesis runs 61 ms/batch64 with pad_dilate vs 102 ms with polyphase
+    (the polyphase output interleave is pure bandwidth at full output
+    size); polyphase wins only when the backward runs (its autodiff
+    transpose stays at low resolution — .bench/up_conv_ab.py). Serving,
+    rendering CLIs, and metrics loops call this; training paths keep the
+    polyphase default. An explicit user-set cfg.up_conv_impl wins.
+    """
+    if cfg.up_conv_impl is None:
+        return dataclasses.replace(cfg, up_conv_impl="pad_dilate")
+    return cfg
 
 
 def generate(params, cfg: GeneratorConfig, z, truncation_psi: float = 1.0,

@@ -134,11 +134,15 @@ def _polyphase_up_conv(x, wk, up: int, pads):
 
 def conv2d_resample(x, w, f=None, up: int = 1, down: int = 1, padding=0,
                     groups: int = 1, flip_weight: bool = True,
-                    flip_filter: bool = False):
+                    flip_filter: bool = False, up_impl=None):
     """Convolve NCHW `x` with OIHW `w`, with optional FIR up/downsampling.
 
     Args mirror the reference (conv2d_resample.py:59-81). `f` must come from
-    `setup_filter`.
+    `setup_filter`. `up_impl` overrides the module-level UP_CONV_IMPL for
+    this call ("polyphase" | "pad_dilate"; None → the module default) —
+    trace-time like the global, but threadable through jit static args
+    (GeneratorConfig.up_conv_impl) so differently-configured callers never
+    collide in a shared jit cache.
     """
     assert x.ndim == 4 and w.ndim == 4
     out_channels, in_channels_per_group, kh, kw = w.shape
@@ -178,7 +182,7 @@ def conv2d_resample(x, w, f=None, up: int = 1, down: int = 1, padding=0,
         if fuse:
             wk = _compose_kernel_with_fir(wk, f, gain=up ** 2,
                                           flip_filter=flip_filter)
-            if UP_CONV_IMPL == "polyphase":
+            if (up_impl or UP_CONV_IMPL) == "polyphase":
                 return _polyphase_up_conv(x, wk, up, (px0, px1, py0, py1))
         x = _pad_dilate(x, (up, up), (px0, px1, py0, py1))
         x = lax.conv_general_dilated(

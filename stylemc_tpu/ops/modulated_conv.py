@@ -49,6 +49,7 @@ def modulated_conv2d(
     resample_filter=None,
     demodulate: bool = True,
     flip_weight: bool = True,
+    up_impl=None,
 ):
     n = x.shape[0]
     out_channels, in_channels, kh, kw = weight.shape
@@ -74,7 +75,7 @@ def modulated_conv2d(
     x = x * styles.astype(x.dtype)[:, :, None, None]
     x = conv2d_resample(
         x, weight.astype(x.dtype), f=resample_filter, up=up, down=down,
-        padding=padding, flip_weight=flip_weight,
+        padding=padding, flip_weight=flip_weight, up_impl=up_impl,
     )
 
     if demodulate and noise is not None:

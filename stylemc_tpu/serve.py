@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models.stylegan2.generator import (GeneratorConfig, mapping, w_to_s,
-                                         synthesis)
+from .models.stylegan2.generator import (GeneratorConfig, inference_cfg,
+                                         mapping, w_to_s, synthesis)
 from .models.mapper import mapper_apply
 from .edit import (N_STYLE_CHANNELS, STYLE_DIM, TRAINABLE,
                    mapper_directions_batched)
@@ -62,6 +62,9 @@ class BatchEditor:
                  max_batch: int = 64, truncation_psi: float = 0.7,
                  noise_mode: str = "const", precision: str = "fp32"):
         gen_cfg = _apply_precision(gen_cfg, precision)
+        # forward-only service → pad_dilate up-convs (61 vs 102 ms/batch64;
+        # inference_cfg docstring)
+        gen_cfg = inference_cfg(gen_cfg)
         self.cfg = gen_cfg
         self.params = jax.device_put(gen_params)
         self.direction = None if direction is None else \

@@ -294,3 +294,33 @@ def test_remat_matches_non_remat():
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_up_conv_impl_cfg_equivalence():
+    """cfg.up_conv_impl selects algebraically identical fused up-conv forms
+    (pad_dilate vs polyphase); synthesis output must match to fp32 rounding,
+    and the grad wrt styles must match too (training uses polyphase, serving
+    pad_dilate — both must be the same function)."""
+    import dataclasses
+
+    cfg = GeneratorConfig(img_resolution=32, channel_base=512,
+                          channel_max=32, mapping_layers=2)
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(3), (2, cfg.z_dim))
+    s = w_to_s(params, cfg, mapping(params, cfg, z, truncation_psi=0.7))
+
+    outs, grads = {}, {}
+    for impl in ("polyphase", "pad_dilate"):
+        c = dataclasses.replace(cfg, up_conv_impl=impl)
+
+        def loss(ss):
+            return jnp.sum(jnp.square(synthesis(params, c, ss,
+                                                noise_mode="const")))
+
+        outs[impl] = np.asarray(synthesis(params, c, s, noise_mode="const"))
+        grads[impl] = np.asarray(jax.grad(loss)(s))
+    np.testing.assert_allclose(outs["polyphase"], outs["pad_dilate"],
+                               atol=5e-4, rtol=1e-4)
+    scale = np.abs(grads["polyphase"]).max()
+    np.testing.assert_allclose(grads["polyphase"] / scale,
+                               grads["pad_dilate"] / scale, atol=1e-4)
