@@ -327,7 +327,7 @@ def bench_find_direction(cfg, params, weights_tag):
     }
     # steady-state step time excludes the one-time per-call cost (tracing +
     # compile-cache load of the step graph) folded into the wall-clock;
-    # 46.7 ms/step is the chained-timing clean-window reference value
+    # 45.2 ms/step is the chained-timing clean-window reference value
     # (.bench/step_breakdown.py; docs/performance.md)
     if "steady_ms_per_step" in info:
         out["steady_ms_per_step"] = round(info["steady_ms_per_step"], 1)
