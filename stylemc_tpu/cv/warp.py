@@ -27,7 +27,10 @@ def triangle_indices(points: np.ndarray) -> List[List[int]]:
     triangles = np.array(subdiv.getTriangleList(), dtype=np.int32)
 
     def find_index(pt):
-        hit = np.where((points == pt).all(axis=1))[0]
+        # Subdiv2D vertices round-trip through the int32 cast above, so
+        # match against the cast points — fractional detector landmarks
+        # never equal their truncated triangle vertices.
+        hit = np.where((landmarks_points == pt).all(axis=1))[0]
         return int(hit[0]) if len(hit) else None
 
     out = []
@@ -73,7 +76,18 @@ def warp_triangle(src_img, dst_img, src_pts, dst_pts):
                             borderMode=cv2.BORDER_REFLECT_101)
     mask = np.zeros((r2[3], r2[2]), np.uint8)
     cv2.fillConvexPoly(mask, dst_local.astype(np.int32), 255)
-    region = dst_img[r2[1]:r2[1] + r2[3], r2[0]:r2[0] + r2[2]]
+    # Destination landmarks can fall outside the image (detector boxes near
+    # an edge): clip the destination rect to the image and slice the warped
+    # patch/mask by the same offsets instead of indexing out of bounds.
+    h, w = dst_img.shape[:2]
+    x0, y0 = max(r2[0], 0), max(r2[1], 0)
+    x1, y1 = min(r2[0] + r2[2], w), min(r2[1] + r2[3], h)
+    if x0 >= x1 or y0 >= y1:
+        return
+    ox, oy = x0 - r2[0], y0 - r2[1]
+    mask = mask[oy:oy + (y1 - y0), ox:ox + (x1 - x0)]
+    warped = warped[oy:oy + (y1 - y0), ox:ox + (x1 - x0)]
+    region = dst_img[y0:y1, x0:x1]
     region[mask > 0] = warped[mask > 0]
 
 

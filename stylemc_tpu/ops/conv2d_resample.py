@@ -145,6 +145,7 @@ def conv2d_resample(x, w, f=None, up: int = 1, down: int = 1, padding=0,
     collide in a shared jit cache.
     """
     assert x.ndim == 4 and w.ndim == 4
+    assert (up_impl or UP_CONV_IMPL) in ("polyphase", "pad_dilate"), up_impl
     out_channels, in_channels_per_group, kh, kw = w.shape
     fw, fh = _get_filter_size(f)
     px0, px1, py0, py1 = _parse_padding(padding)

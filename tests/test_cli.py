@@ -211,13 +211,21 @@ def test_warp_images_cli(tmp_path, monkeypatch):
     Image.fromarray(rng.randint(0, 255, (64, 128, 3), np.uint8)).save(
         os.path.join(indir, "pair0.jpeg"))
 
-    lm = np.stack([np.linspace(10, 50, 68), np.linspace(10, 50, 68)], 1)
+    # Non-collinear FRACTIONAL landmarks (real detector output is float):
+    # an 8x8 jittered grid plus corner-adjacent points, dst shifted so some
+    # destination triangles spill past the image edge (bounds-clip path).
+    gx, gy = np.meshgrid(np.linspace(8, 56, 8), np.linspace(8, 56, 8))
+    lm = np.stack([gx.ravel(), gy.ravel()], 1)[:64]
+    lm = np.concatenate([lm, [[4.3, 4.7], [59.2, 4.1], [4.6, 59.8],
+                              [59.4, 59.1]]], 0)
+    lm = lm + np.random.RandomState(1).uniform(-1.5, 1.5, lm.shape)
+    dst = lm + [6.0, 3.0]
 
     class FakeLandmarker:
         def detect_batch(self, images):
             assert len(images) == 2
             assert images[0].shape == (64, 64, 3)
-            return np.stack([lm, lm + 2.0])
+            return np.stack([lm, dst])
 
     monkeypatch.setattr("stylemc_tpu.cv.landmarks.default_landmarker",
                         lambda **kw: FakeLandmarker())
@@ -226,3 +234,15 @@ def test_warp_images_cli(tmp_path, monkeypatch):
     assert r.exit_code == 0, r.output
     out = np.asarray(Image.open(os.path.join(outdir, "pair0_warp.jpeg")))
     assert out.shape == (64, 192, 3)  # overlay | overlay | warp
+
+    # The warp panel must actually move pixels: with every landmark shifted
+    # +6px in x, the warped half differs from the raw left half on a large
+    # fraction of pixels (this was a silent no-op before the float/int
+    # triangle-vertex matching fix in cv/warp.py).
+    left = np.asarray(
+        Image.open(os.path.join(indir, "pair0.jpeg")).convert("RGB")
+    )[:, :64]
+    warp_panel = out[:, 128:]
+    frac_diff = np.mean(
+        np.abs(warp_panel.astype(int) - left.astype(int)).max(-1) > 8)
+    assert frac_diff > 0.2, f"warp panel barely differs ({frac_diff:.3f})"
