@@ -19,16 +19,19 @@ from ..models.perceptual import features as lpips_features
 
 
 def slerp(a, b, t):
-    """reference perceptual_path_length.py:23-32."""
+    """reference perceptual_path_length.py:23-32 (torch-oracle-tested).
+
+    Returns UNIT vectors like the reference (inputs are normalized and the
+    result is re-normalized). The ADA mapping net normalizes z's second
+    moment anyway, so unit-z endpoints produce the reference's images."""
     a_n = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
     b_n = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
     d = jnp.sum(a_n * b_n, axis=-1, keepdims=True)
     p = t * jnp.arccos(jnp.clip(d, -1.0, 1.0))
     c = b_n - d * a_n
     c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
-    out = a * jnp.cos(p) + c * jnp.sin(p) * jnp.linalg.norm(
-        a, axis=-1, keepdims=True)
-    return out
+    out = a_n * jnp.cos(p) + c * jnp.sin(p)
+    return out / jnp.linalg.norm(out, axis=-1, keepdims=True)
 
 
 def _lpips_distance_pairs(lpips_params, img0, img1):

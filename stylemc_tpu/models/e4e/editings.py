@@ -77,11 +77,16 @@ def sefa_factorize(gen_params, layers="all"):
 def apply_sefa(gen_params, latents, indices=(2, 3, 4, 5), semantics: int = 1,
                start_distance: float = -15.0, end_distance: float = 15.0,
                step: int = 11, num_samples: int = 1):
-    """sefa.py:6-31: sweep eigen-direction distances over chosen layers."""
+    """sefa.py:6-31: sweep eigen-direction distances over chosen layers.
+
+    Reference quirk, reproduced (torch-oracle-tested): the boundary is added
+    at W+ rows equal to the CONV indices (`temp_code[:, layers]`,
+    sefa.py:24), although convs[i] consumes latent row i+1 in the rosinality
+    forward — i.e. the edit lands one style row early."""
     layers, boundaries, _ = sefa_factorize(gen_params, list(indices))
     codes = np.asarray(latents)
     distances = np.linspace(start_distance, end_distance, step)
-    layer_rows = [l + 1 for l in layers]  # +1: row 0 is b4.conv1
+    layer_rows = list(layers)
     edited = []
     for sem_id in range(semantics):
         boundary = boundaries[sem_id:sem_id + 1]

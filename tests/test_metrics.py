@@ -96,9 +96,14 @@ def test_precision_recall_identical_distributions():
 
 
 def test_slerp_endpoints():
+    # like the reference, slerp normalizes: endpoints are a/|a| and b/|b|
     a = jnp.asarray(RNG.randn(4, 16).astype(np.float32))
     b = jnp.asarray(RNG.randn(4, 16).astype(np.float32))
-    np.testing.assert_allclose(np.asarray(slerp(a, b, 0.0)), np.asarray(a),
+    a_n = np.asarray(a) / np.linalg.norm(a, axis=-1, keepdims=True)
+    b_n = np.asarray(b) / np.linalg.norm(b, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(slerp(a, b, 0.0)), a_n,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(slerp(a, b, 1.0)), b_n,
                                rtol=1e-4, atol=1e-5)
 
 
