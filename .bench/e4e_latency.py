@@ -37,8 +37,15 @@ _invert = jax.jit(
                                   decoder_params=dp).decode(
         _dc.replace(psp, encoder_params=ep).encode(x)))
 
+_invert_u8 = jax.jit(
+    lambda ep, dp, x: jnp.clip(jnp.transpose(
+        _dc.replace(psp, encoder_params=ep, decoder_params=dp).decode(
+            _dc.replace(psp, encoder_params=ep).encode(x)),
+        (0, 2, 3, 1)) * 127.5 + 128, 0, 255).astype(jnp.uint8))
+
 encode = lambda x: _encode(psp.encoder_params, x)
 invert = lambda x: _invert(psp.encoder_params, psp.decoder_params, x)
+invert_u8 = lambda x: _invert_u8(psp.encoder_params, psp.decoder_params, x)
 
 x_probe = jax.device_put(
     np.random.RandomState(0).randn(4, 3, 256, 256).astype(np.float32), dev)
@@ -67,7 +74,8 @@ import os
 BATCHES = tuple(int(b) for b in
                 os.environ.get("E4E_BATCHES", "1,4,8").split(","))
 
-for name, fn in (("encode", encode), ("invert(encode+1024px decode)", invert)):
+for name, fn in (("encode", encode), ("invert(encode+1024px decode)", invert),
+                 ("invert→uint8-on-device (4x fewer link bytes)", invert_u8)):
     out = {}
     for b in BATCHES:
         xb = np.random.RandomState(b).randn(b, 3, 256, 256).astype(np.float32)
