@@ -1,10 +1,12 @@
-"""Convert legacy network pickles into the framework's native format.
+"""Convert network checkpoints between formats.
 
 CLI contract: /root/reference/legacy.py:291-314 — load a (possibly legacy
-TF) pickle and re-save in a directly loadable form. Here the output is the
-framework-native .npz bundle (config json + flattened params), loadable via
-io.native.load_native; NVIDIA .pkl inputs are parsed without executing
-embedded code.
+TF) pickle and re-save in a directly loadable form. Inputs: NVIDIA .pkl
+(parsed without executing embedded code), legacy TF pickles, rosinality
+.pt, or framework-native .npz. Output format follows the --dest extension:
+.npz = framework-native bundle (config json + flattened params),
+.pt = rosinality-layout torch checkpoint (loadable by rosinality/e4e
+torch tooling — the export direction of io/rosinality.py's name map).
 """
 
 from __future__ import annotations
@@ -13,8 +15,10 @@ import click
 
 
 @click.command()
-@click.option("--source", required=True, help="Input .pkl", metavar="PATH")
-@click.option("--dest", required=True, help="Output .npz", metavar="PATH")
+@click.option("--source", required=True, metavar="PATH",
+              help="Input .pkl / .pt / .npz")
+@click.option("--dest", required=True, metavar="PATH",
+              help="Output .npz (native) or .pt (rosinality)")
 @click.option("--key", default="G_ema", show_default=True)
 @click.option("--force-fp16", is_flag=True, default=False, show_default=True,
               help="force num_fp16_res=4 + conv_clamp=256 "
@@ -26,7 +30,12 @@ def main(source, dest, key, force_fp16):
     print(f'Loading "{source}"...')
     cfg, params = load_generator(source, key=key, force_fp16=force_fp16)
     print(f'Saving "{dest}"...')
-    save_native(dest, cfg, params)
+    if dest.endswith((".pt", ".pth")):
+        from ..io.export import save_rosinality_pt
+
+        save_rosinality_pt(dest, cfg, params)
+    else:
+        save_native(dest, cfg, params)
     print("Done.")
 
 

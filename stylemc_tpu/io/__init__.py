@@ -6,6 +6,8 @@ from .pickle_loader import (
     load_generator,
 )
 from .torch_state import load_state_dict_numpy, strip_prefix
+from .export import (ada_to_rosinality_state, encoder_to_torch_state,
+                     save_rosinality_pt, save_e4e_pt)
 from .tf_legacy import (TFNetworkStub, convert_tf_generator,
                         convert_tf_discriminator, discriminator_from_stub)
 
@@ -17,6 +19,10 @@ __all__ = [
     "load_generator",
     "load_state_dict_numpy",
     "strip_prefix",
+    "ada_to_rosinality_state",
+    "encoder_to_torch_state",
+    "save_rosinality_pt",
+    "save_e4e_pt",
     "TFNetworkStub",
     "convert_tf_generator",
     "convert_tf_discriminator",

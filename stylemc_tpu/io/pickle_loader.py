@@ -326,6 +326,9 @@ def load_generator(path, key: str = "G_ema",
     if isinstance(path, str) and path.endswith(".npz"):
         from .native import load_native
         return load_native(path)
+    if isinstance(path, str) and path.endswith((".pt", ".pth")):
+        from .rosinality import load_rosinality_pt
+        return load_rosinality_pt(path)
     data = load_network_pkl(path)
     stub = data[key]
     assert isinstance(stub, PersistentStub), f"{key} is not a persistent network"

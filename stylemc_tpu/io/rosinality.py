@@ -113,3 +113,35 @@ def generator_params_from_rosinality(
 def infer_rosinality_size(state: Dict[str, np.ndarray]) -> int:
     n_torgbs = len({k.split(".")[1] for k in state if k.startswith("to_rgbs.")})
     return 4 * (2 ** n_torgbs)
+
+
+def load_rosinality_pt(path: str,
+                       key: Optional[str] = None
+                       ) -> Tuple[GeneratorConfig, Dict[str, Any]]:
+    """Load a rosinality-layout generator .pt checkpoint.
+
+    Accepts the rosinality train.py checkpoint dict ({"g_ema"/"g": state},
+    optional "latent_avg") or a bare state dict; size and mapping depth are
+    inferred from the keys. Counterpart of io.export.save_rosinality_pt."""
+    import jax.numpy as jnp
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    latent_avg = None
+    if isinstance(obj, dict):
+        la = obj.get("latent_avg")
+        if la is not None and hasattr(la, "numpy"):
+            latent_avg = la.detach().cpu().numpy()
+        for k in ([key] if key else ("g_ema", "g", "generator", "state_dict")):
+            if k in obj and isinstance(obj[k], dict):
+                obj = obj[k]
+                break
+    state = {n: v.detach().cpu().numpy() for n, v in obj.items()
+             if hasattr(v, "detach")}
+    assert any(n.startswith("convs.") or n == "input.input" for n in state), \
+        f"{path} does not look like a rosinality generator checkpoint"
+    cfg, params = generator_params_from_rosinality(
+        state, infer_rosinality_size(state))
+    if latent_avg is not None:
+        params["mapping"]["w_avg"] = jnp.asarray(latent_avg, jnp.float32)
+    return cfg, params

@@ -291,3 +291,52 @@ def test_real_torch_tensors_still_load(tmp_path):
     assert out["h"].dtype == torch.float16
     np.testing.assert_allclose(np.asarray(out["a"]), np.asarray(d["a"]))
     assert float(out["s"]) == 1.5
+
+
+# ------------------------------------------------------------------ export
+
+
+def test_rosinality_pt_export_roundtrip(tmp_path):
+    """save_rosinality_pt → load_generator(.pt): params and synthesis match
+    (the export direction of io/rosinality.py's name map)."""
+    from stylemc_tpu.io.export import save_rosinality_pt
+    from stylemc_tpu.io.rosinality import config_for_rosinality
+    from stylemc_tpu.models.stylegan2.generator import (
+        mapping, synthesis, w_to_s)
+
+    cfg = config_for_rosinality(16, n_mlp=2)
+    params = init_generator_params(jax.random.PRNGKey(3), cfg)
+    path = str(tmp_path / "g.pt")
+    save_rosinality_pt(path, cfg, params)
+
+    cfg2, params2 = load_generator(path)
+    assert cfg2.img_resolution == cfg.img_resolution
+    assert cfg2.mapping_layers == cfg.mapping_layers
+
+    z = jnp.asarray(np.random.RandomState(0).randn(2, 512), jnp.float32)
+    a = synthesis(params, cfg, w_to_s(params, cfg, mapping(params, cfg, z)),
+                  noise_mode="const")
+    b = synthesis(params2, cfg2,
+                  w_to_s(params2, cfg2, mapping(params2, cfg2, z)),
+                  noise_mode="const")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+    # latent_avg defaults to the mapping's w_avg
+    np.testing.assert_allclose(
+        np.asarray(params2["mapping"]["w_avg"]),
+        np.asarray(params["mapping"]["w_avg"]), rtol=1e-6)
+
+
+def test_legacy_cli_pt_dest(tmp_path, fabricated):
+    """legacy CLI: NVIDIA .pkl in → rosinality .pt out → loads back."""
+    from click.testing import CliRunner
+
+    from stylemc_tpu.cli.legacy import main as legacy_main
+
+    cfg, params, pkl_path = fabricated
+    dest = str(tmp_path / "converted.pt")
+    r = CliRunner().invoke(legacy_main,
+                           ["--source", pkl_path, "--dest", dest])
+    assert r.exit_code == 0, r.output
+    cfg2, params2 = load_generator(dest)
+    assert cfg2.img_resolution == cfg.img_resolution
