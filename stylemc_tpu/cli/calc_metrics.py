@@ -39,8 +39,12 @@ import numpy as np
               help="fid2015 = reference Inception-2015 TF graph "
                    "(FID comparable to the reference); tv = torchvision")
 @click.option("--allow_random_init", is_flag=True, default=False)
+@click.option("--data_parallel", is_flag=True, default=False,
+              help="shard generator + detector feature extraction over all "
+                   "local devices (1-axis data mesh; the TPU-native "
+                   "equivalent of the reference's num_gpus rank striding)")
 def main(network_pkl, metrics, data_dir, num_gen, batch, inception_path,
-         detector_variant, allow_random_init):
+         detector_variant, allow_random_init, data_parallel):
     import jax
     import jax.numpy as jnp
     from ..io import load_generator, load_state_dict_numpy
@@ -101,11 +105,22 @@ def main(network_pkl, metrics, data_dir, num_gen, batch, inception_path,
         from ..losses.lpips import init_lpips_params
         lpips_params = init_lpips_params(jax.random.PRNGKey(1), "vgg")
 
+    mesh = None
+    if data_parallel:
+        from ..parallel.mesh import data_mesh
+        mesh = data_mesh(max_size=batch)
+        if mesh.devices.size <= 1:
+            mesh = None
+        else:
+            print(f"data-parallel feature extraction over "
+                  f"{mesh.devices.size} devices")
+
     opts = MetricOptions(
         gen_params=params, gen_cfg=cfg,
         inception_features_fn=features_fn, inception_probs_fn=probs_fn,
         dataset_features_fn=dataset_features_fn,
-        lpips_params=lpips_params, num_gen=num_gen, batch_size=batch)
+        lpips_params=lpips_params, num_gen=num_gen, batch_size=batch,
+        mesh=mesh)
 
     for name in metrics.split(","):
         name = name.strip()

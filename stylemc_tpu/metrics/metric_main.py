@@ -61,15 +61,26 @@ class MetricOptions:
     batch_size: int = 16
     seed: int = 0
     progress_fn: Optional[Callable] = None
+    # data-parallel feature extraction: a 1-axis ('data',) jax Mesh. The
+    # generator batch shards over it (zero collectives — pure batch DP, the
+    # TPU-native equivalent of the reference's rank-strided feature loops,
+    # metric_utils.py:214,257-271), and the detector inherits the sharding
+    # because images stay on device between the two jits. batch_size must
+    # be divisible by the mesh size.
+    mesh: Any = None
 
 
 def _gen_images(opts: MetricOptions, n: int):
-    """Yield uint8 HWC batches from the generator."""
+    """Yield uint8 HWC batches from the generator.
+
+    Batches are DEVICE arrays (not numpy): with `opts.mesh` set they are
+    sharded over the 'data' axis, and the downstream detector jit inherits
+    that sharding from its input — generator + detector both run
+    data-parallel with no host round-trip in between."""
     import jax
     import jax.numpy as jnp
     from ..models.stylegan2.generator import mapping, w_to_s, synthesis
 
-    @jax.jit
     def run(gp, z):
         # generator weights as a jit ARGUMENT (closure'd weights embed as
         # HLO literals — fatal for remote-compile toolchains)
@@ -77,19 +88,32 @@ def _gen_images(opts: MetricOptions, n: int):
         s = w_to_s(gp, opts.gen_cfg, ws)
         img = synthesis(gp, opts.gen_cfg, s)
         img = jnp.clip(jnp.transpose(img, (0, 2, 3, 1)) * 127.5 + 128, 0, 255)
-        return img
+        return img.astype(jnp.uint8)
+
+    if opts.mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = opts.mesh.devices.size
+        assert opts.batch_size % n_dev == 0, \
+            f"batch_size {opts.batch_size} must divide over {n_dev} devices"
+        run = jax.jit(run,
+                      in_shardings=(NamedSharding(opts.mesh, P()),
+                                    NamedSharding(opts.mesh, P("data"))),
+                      out_shardings=NamedSharding(opts.mesh, P("data")))
+    else:
+        run = jax.jit(run)
 
     rng = jax.random.PRNGKey(opts.seed)
     done = 0
     while done < n:
         rng, k = jax.random.split(rng)
         z = jax.random.normal(k, (opts.batch_size, opts.gen_cfg.z_dim))
-        imgs = np.asarray(run(opts.gen_params, z)).astype(np.uint8)
+        imgs = run(opts.gen_params, z)
         take = min(opts.batch_size, n - done)
         done += take
         if opts.progress_fn:
             opts.progress_fn(done, n)
-        yield imgs[:take]
+        yield imgs if take == opts.batch_size else imgs[:take]
 
 
 def compute_generator_features(opts: MetricOptions, feature_fn, n: int,

@@ -243,3 +243,51 @@ def test_inception_variants_differ():
     assert not np.allclose(f_fid, f_tv)
     with pytest.raises(AssertionError):
         inception_features(params, jnp.asarray(imgs), variant="nope")
+
+
+# ------------------------------------------------------ data-parallel mesh
+
+def test_generator_features_mesh_matches_single(tiny_metric_opts):
+    """compute_generator_features over an 8-device 'data' mesh: identical
+    features to the single-device run (same z stream; pure batch DP), and
+    the detector jit genuinely receives batch-sharded device arrays."""
+    import dataclasses
+
+    from stylemc_tpu.metrics.metric_main import compute_generator_features
+    from stylemc_tpu.parallel.mesh import data_mesh
+
+    seen_shardings = []
+    base_fn = tiny_metric_opts.inception_features_fn
+
+    def recording_fn(imgs):
+        seen_shardings.append(getattr(imgs, "sharding", None))
+        return base_fn(imgs)
+
+    single = compute_generator_features(
+        tiny_metric_opts, base_fn, 32, capture_all=True)
+
+    mesh = data_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
+    opts_dp = dataclasses.replace(tiny_metric_opts, mesh=mesh,
+                                  batch_size=16)
+    sharded = compute_generator_features(
+        opts_dp, recording_fn, 32, capture_all=True)
+
+    np.testing.assert_allclose(sharded.get_all(), single.get_all(),
+                               rtol=1e-4, atol=1e-4)
+    from jax.sharding import PartitionSpec as P
+    assert seen_shardings and all(s is not None for s in seen_shardings)
+    assert any(s.spec == P("data") for s in seen_shardings), seen_shardings
+
+
+def test_calc_metric_fid_mesh(tiny_metric_opts):
+    import dataclasses
+
+    from stylemc_tpu.parallel.mesh import data_mesh
+
+    out1 = calc_metric("fid50k_full", opts=tiny_metric_opts)
+    opts_dp = dataclasses.replace(tiny_metric_opts, mesh=data_mesh())
+    out2 = calc_metric("fid50k_full", opts=opts_dp)
+    np.testing.assert_allclose(out2.results.fid50k_full,
+                               out1.results.fid50k_full, rtol=1e-3,
+                               atol=1e-4)
