@@ -237,8 +237,12 @@ def build_server(editor, host: str = "127.0.0.1", port: int = 8080,
               help="merge concurrent same-parameter requests arriving "
                    "within this window into one batched dispatch; 0 "
                    "disables (serial lock)")
+@click.option("--data_parallel", is_flag=True, default=False,
+              help="shard request batches over all local devices "
+                   "(1-axis data mesh; buckets smaller than the mesh run "
+                   "replicated)")
 def main(network, direction, directions, mapper, e4e_ckpt, host, port,
-         max_batch, precision, warmup, coalesce_ms):
+         max_batch, precision, warmup, coalesce_ms, data_parallel):
     from ..serve import BatchEditor
 
     zoo = {}
@@ -247,11 +251,19 @@ def main(network, direction, directions, mapper, e4e_ckpt, host, port,
         if not path:
             raise click.BadParameter(f"expected NAME=PATH, got {entry!r}")
         zoo[name] = path
+    mesh = None
+    if data_parallel:
+        from ..parallel.mesh import data_mesh
+        mesh = data_mesh(max_size=max_batch)
+        if mesh.devices.size <= 1:
+            mesh = None
+        else:
+            print(f"data-parallel serving over {mesh.devices.size} devices")
     editor = BatchEditor.from_files(network, direction=direction,
                                     mapper=mapper, directions=zoo or None,
                                     e4e_ckpt=e4e_ckpt,
                                     max_batch=max_batch,
-                                    precision=precision)
+                                    precision=precision, mesh=mesh)
     if warmup:
         print("warming up (compiling batch buckets)...")
         editor.warmup()

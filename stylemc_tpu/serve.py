@@ -60,13 +60,25 @@ class BatchEditor:
                  direction: Optional[np.ndarray] = None,
                  mapper_params=None, mapper_neg_slope: float = 0.01,
                  max_batch: int = 64, truncation_psi: float = 0.7,
-                 noise_mode: str = "const", precision: str = "fp32"):
+                 noise_mode: str = "const", precision: str = "fp32",
+                 mesh=None):
         gen_cfg = _apply_precision(gen_cfg, precision)
         # forward-only service → pad_dilate up-convs (61 vs 102 ms/batch64;
         # inference_cfg docstring)
         gen_cfg = inference_cfg(gen_cfg)
         self.cfg = gen_cfg
-        self.params = jax.device_put(gen_params)
+        # mesh: a 1-axis ('data',) jax Mesh — multi-chip serving. Weights
+        # replicate; request batches shard over 'data' (zero collectives).
+        # Buckets smaller than the mesh fall back to the replicated program.
+        self._mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._rep_sh = NamedSharding(mesh, P())
+            self._data_sh = NamedSharding(mesh, P("data"))
+            self.params = jax.device_put(gen_params, self._rep_sh)
+        else:
+            self.params = jax.device_put(gen_params)
         self.direction = None if direction is None else \
             jax.device_put(jnp.asarray(direction, jnp.float32))
         # named-direction registry: several edits deployed at once, selected
@@ -80,10 +92,10 @@ class BatchEditor:
         self._invert = None  # set by attach_inverter
         self.buckets = [b for b in (1, 2, 4, 8, 16, 32, 64) if b <= max_batch]
 
-        self._styles_from_z = jax.jit(
-            lambda gp, z: w_to_s(gp, self.cfg,
-                                 mapping(gp, self.cfg, z,
-                                         truncation_psi=self.truncation_psi)))
+        def _styles_fn(gp, z):
+            return w_to_s(gp, self.cfg,
+                          mapping(gp, self.cfg, z,
+                                  truncation_psi=self.truncation_psi))
 
         def _render_u8(gp, s):
             # uint8 NHWC conversion ON DEVICE: a quarter of the fp32 NCHW
@@ -92,7 +104,28 @@ class BatchEditor:
             img = jnp.transpose(img, (0, 2, 3, 1)) * 127.5 + 128
             return jnp.clip(img, 0, 255).astype(jnp.uint8)
 
-        self._render = jax.jit(_render_u8)
+        self._styles_from_z_plain = jax.jit(_styles_fn)
+        self._render_plain = jax.jit(_render_u8)
+        if mesh is not None:
+            self._styles_from_z_sharded = jax.jit(
+                _styles_fn, in_shardings=(self._rep_sh, self._data_sh),
+                out_shardings=self._data_sh)
+            self._render_sharded = jax.jit(
+                _render_u8, in_shardings=(self._rep_sh, self._data_sh),
+                out_shardings=self._data_sh)
+
+    def _sharded_ok(self, n: int) -> bool:
+        return self._mesh is not None and n % self._mesh.devices.size == 0
+
+    def _styles_from_z(self, gp, z):
+        if self._sharded_ok(z.shape[0]):
+            return self._styles_from_z_sharded(gp, z)
+        return self._styles_from_z_plain(gp, z)
+
+    def _render(self, gp, s):
+        if self._sharded_ok(s.shape[0]):
+            return self._render_sharded(gp, s)
+        return self._render_plain(gp, s)
 
     # ------------------------------------------------------------- plumbing
 
