@@ -209,7 +209,7 @@ def ppl2_wend(opts):
                       opts.gen_cfg.z_dim, num_samples=opts.num_gen,
                       epsilon=1e-4, space="w", sampling="end", crop=False,
                       batch_size=opts.batch_size, seed=opts.seed,
-                      gen_params=opts.gen_params)
+                      gen_params=opts.gen_params, mesh=opts.mesh)
     return {"ppl2_wend": ppl}
 
 

@@ -51,14 +51,15 @@ def compute_ppl(mapping_fn: Callable, synthesis_fn: Callable,
                 num_samples: int = 2000, epsilon: float = 1e-4,
                 space: str = "w", sampling: str = "end",
                 crop: bool = False, batch_size: int = 8,
-                seed: int = 0, gen_params=None) -> float:
+                seed: int = 0, gen_params=None, mesh=None) -> float:
     """mapping_fn(gen_params, z) → ws; synthesis_fn(gen_params, ws) → imgs
     [-1,1]. `gen_params`/`lpips_params` flow through the jit as ARGUMENTS
-    (closure'd weights embed as HLO literals)."""
+    (closure'd weights embed as HLO literals). With `mesh` (a 1-axis
+    ('data',) Mesh) the sample batch shards over devices — pure batch DP,
+    like the reference's rank-strided PPL sampler."""
     rng = jax.random.PRNGKey(seed)
     dists = []
 
-    @jax.jit
     def pair_distance(gp, lp, z0, z1, t):
         if space == "w":
             w0 = mapping_fn(gp, z0)
@@ -84,6 +85,19 @@ def compute_ppl(mapping_fn: Callable, synthesis_fn: Callable,
             img1 = img1.reshape(n, ch, h // factor, factor,
                                 w // factor, factor).mean(axis=(3, 5))
         return _lpips_distance_pairs(lp, img0, img1) / epsilon ** 2
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert batch_size % mesh.devices.size == 0, \
+            (batch_size, mesh.devices.size)
+        rep = NamedSharding(mesh, P())
+        dat = NamedSharding(mesh, P("data"))
+        pair_distance = jax.jit(pair_distance,
+                                in_shardings=(rep, rep, dat, dat, dat),
+                                out_shardings=dat)
+    else:
+        pair_distance = jax.jit(pair_distance)
 
     for lo in range(0, num_samples, batch_size):
         rng, k0, k1, kt = jax.random.split(rng, 4)

@@ -291,3 +291,23 @@ def test_calc_metric_fid_mesh(tiny_metric_opts):
     np.testing.assert_allclose(out2.results.fid50k_full,
                                out1.results.fid50k_full, rtol=1e-3,
                                atol=1e-4)
+
+
+def test_compute_ppl_mesh_matches_single():
+    from stylemc_tpu.parallel.mesh import data_mesh
+
+    lpips = init_lpips_params(jax.random.PRNGKey(0), "vgg")
+
+    def mapping_fn(gp, z):
+        return jnp.repeat(z[:, None, :], 4, axis=1)
+
+    def synthesis_fn(gp, ws):
+        w = ws[:, 0, :48]
+        return jnp.tanh(w.reshape(-1, 3, 4, 4)).repeat(16, 2).repeat(16, 3)
+
+    kw = dict(z_dim=48, num_samples=16, batch_size=8, space="w",
+              sampling="end")
+    single = compute_ppl(mapping_fn, synthesis_fn, lpips, **kw)
+    sharded = compute_ppl(mapping_fn, synthesis_fn, lpips, mesh=data_mesh(),
+                          **kw)
+    np.testing.assert_allclose(sharded, single, rtol=1e-3)
