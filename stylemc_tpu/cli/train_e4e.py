@@ -46,6 +46,9 @@ import numpy as np
 @click.option("--w_pool_size", default=50, show_default=True)
 @click.option("--delta_norm", default=2, show_default=True)
 @click.option("--delta_norm_lambda", default=2e-4, show_default=True)
+@click.option("--data_parallel", is_flag=True, default=False,
+              help="shard image batches over all local devices "
+                   "(1-axis data mesh; GSPMD-inserted gradient psum)")
 @click.option("--progressive_start", type=int, default=None)
 @click.option("--progressive_step_every", default=2000, show_default=True)
 @click.option("--resume_training_from_ckpt", type=str, default=None)
@@ -58,7 +61,7 @@ def main(exp_dir, dataset_type, encoder_type, source_root, test_root,
          board_interval, val_interval, save_interval,
          w_discriminator_lambda, w_discriminator_lr, r1, d_reg_every,
          use_w_pool, w_pool_size, delta_norm, delta_norm_lambda,
-         progressive_start, progressive_step_every,
+         data_parallel, progressive_start, progressive_step_every,
          resume_training_from_ckpt, arcface_weights, allow_random_init):
     import jax
     import jax.numpy as jnp
@@ -157,7 +160,15 @@ def main(exp_dir, dataset_type, encoder_type, source_root, test_root,
         test_ds = ImagesDataset(test_root, size=256)
         test_iter = batch_iterator(test_ds, test_batch_size, shuffle=False)
 
-    coach = Coach(opts, psp, perception, train_iter, test_iter)
+    mesh = None
+    if data_parallel:
+        from ..parallel.mesh import data_mesh
+        mesh = data_mesh(max_size=batch_size)
+        if mesh.devices.size <= 1:
+            mesh = None
+        else:
+            print(f"data-parallel training over {mesh.devices.size} devices")
+    coach = Coach(opts, psp, perception, train_iter, test_iter, mesh=mesh)
     if resume_training_from_ckpt:
         coach.load_checkpoint(resume_training_from_ckpt)
 

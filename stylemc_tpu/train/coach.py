@@ -98,7 +98,7 @@ class Coach:
     def __init__(self, opts: CoachOptions, psp: PSP,
                  perception: Dict[str, Any],
                  train_iter: Callable, test_iter: Optional[Callable] = None,
-                 arcface_layout=None):
+                 arcface_layout=None, mesh=None):
         self.opts = opts
         self.psp = psp
         self.perception = perception
@@ -107,6 +107,19 @@ class Coach:
         self.arcface_layout = arcface_layout
         self.global_step = 0
         self.best_val_loss = None
+        # mesh: a 1-axis ('data',) jax Mesh — image batches shard over it,
+        # weights/optimizer state replicate, and GSPMD inserts the gradient
+        # psum (the DDP the reference e4e never had; SURVEY §2e).
+        self.mesh = mesh
+        self._rep_sh = self._data_sh = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = mesh.devices.size
+            assert opts.batch_size % n_dev == 0, \
+                f"batch_size {opts.batch_size} must divide over {n_dev} devices"
+            self._rep_sh = NamedSharding(mesh, P())
+            self._data_sh = NamedSharding(mesh, P("data"))
 
         self.optimizer = self._make_optimizer()
         self.opt_state = self.optimizer.init(self._trainable())
@@ -240,8 +253,7 @@ class Coach:
         if stage in self._step_cache:
             return self._step_cache[stage]
 
-        @jax.jit
-        def _step(trainable, opt_state, x, y, disc_params, frozen):
+        def _step_fn(trainable, opt_state, x, y, disc_params, frozen):
             (loss, (loss_dict, y_hat, latent)), grads = jax.value_and_grad(
                 self._calc_loss, has_aux=True)(trainable, x, y, stage,
                                                disc_params, frozen)
@@ -249,6 +261,13 @@ class Coach:
                                                        trainable)
             trainable = optax.apply_updates(trainable, updates)
             return trainable, opt_state, loss_dict, y_hat, latent
+
+        if self.mesh is not None:
+            rep, dat = self._rep_sh, self._data_sh
+            _step = jax.jit(_step_fn,
+                            in_shardings=(rep, rep, dat, dat, rep, rep))
+        else:
+            _step = jax.jit(_step_fn)
 
         def step(trainable, opt_state, x, y, disc_params):
             frozen = {"decoder": self.psp.decoder_params,
@@ -272,8 +291,7 @@ class Coach:
             return self._d_step_cache[regularize]
         opts = self.opts
 
-        @jax.jit
-        def d_step(disc_params, d_opt_state, real_w, fake_w):
+        def _d_step_fn(disc_params, d_opt_state, real_w, fake_w):
             (loss, (rl, fl)), grads = jax.value_and_grad(
                 self._d_loss, has_aux=True)(disc_params, real_w, fake_w)
             updates, d_opt_state = self.d_optimizer.update(grads, d_opt_state,
@@ -304,6 +322,12 @@ class Coach:
                 out["discriminator_r1_loss"] = r1_loss
             return disc_params, d_opt_state, out
 
+        if self.mesh is not None:
+            rep, dat = self._rep_sh, self._data_sh
+            d_step = jax.jit(_d_step_fn, in_shardings=(rep, rep, dat, dat))
+        else:
+            d_step = jax.jit(_d_step_fn)
+
         self._d_step_cache[regularize] = d_step
         return d_step
 
@@ -326,13 +350,19 @@ class Coach:
                 return gradual_style_encoder(enc_params, x, cfg.stylegan_size)
             return backbone_encoder_into_w(enc_params, x, cfg.stylegan_size)
 
-        @jax.jit
-        def _sample(dec_params, enc_params, latent_avg, z, x):
+        def _sample_fn(dec_params, enc_params, latent_avg, z, x):
             real_w = gen_mapping(dec_params, dec_cfg, z)[:, 0, :]
             codes = _encode(enc_params, x)
             if use_avg:
                 codes = codes + latent_avg[None].astype(codes.dtype)
             return real_w, codes
+
+        if self.mesh is not None:
+            rep, dat = self._rep_sh, self._data_sh
+            _sample = jax.jit(_sample_fn,
+                              in_shardings=(rep, rep, rep, dat, dat))
+        else:
+            _sample = jax.jit(_sample_fn)
 
         self._sample_cache[stage] = _sample
         return _sample

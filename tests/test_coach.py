@@ -275,3 +275,51 @@ def test_prefetch_iterator():
     get = prefetch_iterator(make, depth=2)
     got = {get() for _ in range(5)}
     assert got == {0, 1, 2, 3, 4}
+
+
+def _mesh_coach(mesh=None):
+    """Fresh tiny coach with a deterministic data stream (for the mesh-DP
+    equivalence test — the module-scoped fixture shares mutable state)."""
+    gen_cfg = GeneratorConfig(img_resolution=256, channel_base=512,
+                              channel_max=32, mapping_layers=2,
+                              conv_clamp=None)
+    gen_params = init_generator_params(jax.random.PRNGKey(0), gen_cfg)
+    enc_params = init_encoder_params(jax.random.PRNGKey(1), stylegan_size=256)
+    psp = PSP(cfg=PSPConfig(stylegan_size=256), encoder_params=enc_params,
+              decoder_cfg=gen_cfg, decoder_params=gen_params,
+              latent_avg=jnp.zeros((14, 512)))
+    perception = {"lpips": init_lpips_params(jax.random.PRNGKey(2), "alex"),
+                  "arcface": tiny_arcface()}
+    rng = np.random.RandomState(7)
+
+    def train_iter():
+        x = rng.randn(2, 3, 256, 256).astype(np.float32) * 0.3
+        return x, x.copy()
+
+    opts = CoachOptions(batch_size=2, max_steps=2, stylegan_size=256,
+                        w_discriminator_lambda=0.1, id_lambda=0.1,
+                        lpips_lambda=0.8, l2_lambda=1.0)
+    return Coach(opts, psp, perception, train_iter, test_iter=None,
+                 arcface_layout=TINY_ARCFACE_LAYOUT, mesh=mesh)
+
+
+@pytest.mark.slow
+def test_coach_mesh_data_parallel_matches_single():
+    """Coach(mesh=2-device data mesh): per-step losses match the
+    single-device coach (GSPMD grad psum == serial batch gradient)."""
+    from stylemc_tpu.parallel.mesh import data_mesh
+
+    mesh = data_mesh(max_size=2)
+    assert mesh.devices.size == 2
+
+    single = _mesh_coach(mesh=None)
+    sharded = _mesh_coach(mesh=mesh)
+
+    for _ in range(2):
+        x, y = single.train_iter()
+        d1 = single.train_step(x, y)
+        d2 = sharded.train_step(x, y)
+        assert d1.keys() == d2.keys()
+        for k in d1:
+            np.testing.assert_allclose(d2[k], d1[k], rtol=2e-3, atol=2e-4,
+                                       err_msg=k)
