@@ -83,6 +83,12 @@ def _resolve_zoo_resume(resume, prompts):
 @click.option("--resume", type=str, default=None)
 @click.option("--identity_loss_coef", type=float, default=0.6, show_default=True)
 @click.option("--landmarks_loss_coef", type=float, default=25.0, show_default=True)
+@click.option("--landmarks_grad", is_flag=True, default=False,
+              help="BEYOND-REFERENCE: backpropagate the landmarks loss "
+                   "(differentiable crop + MobileNet in the jit graph). "
+                   "Default keeps reference parity: the term is "
+                   "logging-only because the reference computes it under "
+                   "no_grad. Requires MTCNN+MobileNet weights.")
 @click.option("--l2_reg_coef", type=float, default=0.1, show_default=True)
 @click.option("--clip_loss_coef", type=float, default=1.0, show_default=True)
 @click.option("--arcface_weights", type=str, default=None)
@@ -113,7 +119,7 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
          batch_prompts, negative_text_prompt, negative_text_prompts,
          clip_type, clip_loss_type, resolution,
          batch_size, learning_rate, n_epochs, resume, identity_loss_coef,
-         landmarks_loss_coef, l2_reg_coef, clip_loss_coef, arcface_weights,
+         landmarks_loss_coef, landmarks_grad, l2_reg_coef, clip_loss_coef, arcface_weights,
          allow_random_init, data_parallel, split_step, bf16,
          perception_bf16, remat, steps_per_dispatch, trace_dir):
     import contextlib
@@ -155,6 +161,7 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
         learning_rate=learning_rate, n_epochs=n_epochs,
         identity_loss_coef=identity_loss_coef,
         landmarks_loss_coef=landmarks_loss_coef,
+        landmarks_in_graph=landmarks_grad,
         l2_reg_coef=l2_reg_coef, clip_loss_coef=clip_loss_coef,
         clip_type=clip_type, clip_loss_type=clip_loss_type,
         noise_mode=noise_mode, split_step=split_step,
@@ -190,15 +197,21 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
         if it % 1000 == 990:
             np.savez(f"{outdir}/direction_last.npz", s=np.asarray(direction))
 
-    # landmarks metric (logging-only, zero-gradient parity with reference)
+    # landmarks: logging-only metric (zero-gradient reference parity) or,
+    # with --landmarks_grad, the in-graph differentiable loss
     landmarks_metric_fn = None
+    landmarker = None
     if landmarks_loss_coef != 0:
         try:
             from ..cv.landmarks import default_landmarker
-            from ..train.find_direction import make_landmarks_metric_fn
-            landmarks_metric_fn = make_landmarks_metric_fn(
-                params, cfg, fdc, default_landmarker())
+            landmarker = default_landmarker()
+            if not landmarks_grad:
+                from ..train.find_direction import make_landmarks_metric_fn
+                landmarks_metric_fn = make_landmarks_metric_fn(
+                    params, cfg, fdc, landmarker)
         except FileNotFoundError:
+            if landmarks_grad:
+                raise
             print("landmark model weights unavailable — landmarks metric "
                   "reported as 0 (it carries no gradient either way)")
 
@@ -265,7 +278,8 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
         direction, info = find_direction(
             params, cfg, styles_array, clip_models, arcface_params, fdc,
             tokenizer=tokenizer, mesh=mesh, resume_direction=resume_direction,
-            callback=callback, landmarks_metric_fn=landmarks_metric_fn)
+            callback=callback, landmarks_metric_fn=landmarks_metric_fn,
+            landmarker=landmarker if landmarks_grad else None)
 
     np.savez(f"{outdir}/direction_{prompt_tag}.npz", s=np.asarray(direction))
     steady = info.get("steady_ms_per_step")

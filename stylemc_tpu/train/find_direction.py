@@ -65,6 +65,16 @@ class FindDirectionConfig:
     n_epochs: int = 4
     identity_loss_coef: float = 0.6
     landmarks_loss_coef: float = 25.0
+    # BEYOND-REFERENCE fix-with-flag: backpropagate the landmarks loss.
+    # The reference's landmarks term contributes ZERO gradient (no_grad +
+    # PIL round-trip, find_direction.py:90-141) — default False keeps that
+    # parity (logging-only term). True moves it into the jit graph: MTCNN
+    # boxes are detected ONCE on the frozen originals, the edited render is
+    # cropped with a differentiable bilinear crop (ops/image.py, oracle-
+    # matched to the host crop_face+cv2.resize pipeline) and the MobileNet
+    # landmarker runs differentiably; loss = coef · MSE over non-jaw
+    # points in pixel units, like the reference intended.
+    landmarks_in_graph: bool = False
     l2_reg_coef: float = 0.1
     clip_loss_coef: float = 1.0
     clip_type: str = "double"          # 'small' | 'large' | 'double'
@@ -253,7 +263,8 @@ def make_loss_fn(gen_params, gen_cfg: GeneratorConfig,
                  bundles: List[CLIPBundle], arcface_params,
                  fdc: FindDirectionConfig,
                  edit_fn: Optional[Callable] = None,
-                 edit_gen: Optional[Tuple] = None):
+                 edit_gen: Optional[Tuple] = None,
+                 mobilenet_params=None):
     """loss(trainable, styles, id_feats_orig, clip_feats_orig) → (loss, aux).
 
     edit_fn(trainable, styles) → styles2. Default: global-direction edit
@@ -261,6 +272,13 @@ def make_loss_fn(gen_params, gen_cfg: GeneratorConfig,
     trainer passes its own edit_fn. `edit_gen` optionally supplies a second
     (params, cfg) used to render the EDITED image (the two-generator
     domain-transfer mode, reference train_latent_mapper.py:159-162).
+
+    With fdc.landmarks_in_graph, the LAST TWO entries of clip_feats_orig
+    are (boxes [B,4], lm_orig [B,68,2] crop-normalized) from
+    `prepare_landmarks_refs` — appended to that tuple so every batch-gather
+    path (in-jit take, host gather, scan) moves them with the styles rows;
+    the landmarker weights route via model_params['mobilenet'] (or the
+    `mobilenet_params` closure fallback).
     """
     until_k = until_k_for_resolution(fdc.resolution)
     e_params, e_cfg = edit_gen if edit_gen is not None else (gen_params, gen_cfg)
@@ -311,9 +329,88 @@ def make_loss_fn(gen_params, gen_cfg: GeneratorConfig,
         loss = identity_loss + clip_loss + l2
         aux = {"clip_loss": clip_loss, "identity_loss": identity_loss,
                "l2_loss": l2}
+
+        # --- in-graph differentiable landmarks loss (fix-with-flag; see
+        # FindDirectionConfig.landmarks_in_graph)
+        if fdc.landmarks_in_graph:
+            from ..losses.landmarks_loss import landmarks_loss
+            from ..models.mobilenet import (mobilenet_gdconv_apply,
+                                            IMAGENET_MEAN, IMAGENET_STD)
+            from ..ops.image import crop_resize_bilinear
+
+            boxes = clip_feats_orig[-2]
+            lm_orig = clip_feats_orig[-1]
+            mb = (model_params.get("mobilenet")
+                  if model_params else None) or mobilenet_params
+            crop = crop_resize_bilinear(img, boxes)         # [-1,1] values
+            mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)
+            std = jnp.asarray(IMAGENET_STD).reshape(1, 3, 1, 1)
+            x = ((crop * 0.5 + 128.0 / 255.0) - mean) / std
+            lm_edit = mobilenet_gdconv_apply(mb, x).reshape(
+                x.shape[0], -1, 2)
+            side = (boxes[:, 2] - boxes[:, 0]).reshape(-1, 1, 1)
+            lm_term = fdc.landmarks_loss_coef * landmarks_loss(
+                lm_edit * side, lm_orig * side)
+            loss = loss + lm_term
+            aux["landmarks_loss"] = lm_term
         return loss, aux
 
     return loss_fn
+
+
+def prepare_landmarks_refs(gen_params, gen_cfg: GeneratorConfig,
+                           styles_array, fdc: FindDirectionConfig,
+                           landmarker, chunk: int = 8):
+    """One-time host+device precompute for the in-graph landmarks loss:
+    render every original, MTCNN-detect the best face (host), form the
+    crop_face square box (undetected → full-frame box), then run the SAME
+    differentiable crop+landmarker pipeline the loss uses to record the
+    original landmarks (crop-normalized [N, 68, 2])."""
+    from ..models.mobilenet import (mobilenet_gdconv_apply, IMAGENET_MEAN,
+                                    IMAGENET_STD)
+    from ..models.mtcnn.detect import detect_faces
+    from ..ops.image import crop_resize_bilinear, square_crop_box
+
+    until_k = until_k_for_resolution(fdc.resolution)
+    render = jax.jit(lambda gp, s: synthesis(gp, gen_cfg, s,
+                                             until_k=until_k,
+                                             noise_mode=fdc.noise_mode))
+
+    @jax.jit
+    def lm_of(mb, img, boxes):
+        crop = crop_resize_bilinear(img, boxes)
+        mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)
+        std = jnp.asarray(IMAGENET_STD).reshape(1, 3, 1, 1)
+        x = ((crop * 0.5 + 128.0 / 255.0) - mean) / std
+        return mobilenet_gdconv_apply(mb, x).reshape(x.shape[0], -1, 2)
+
+    n = styles_array.shape[0]
+    res = float(fdc.resolution)
+    boxes_all, lm_all = [], []
+    for i in range(0, n, chunk):
+        batch = jnp.asarray(styles_array[i:i + chunk])
+        img = render(gen_params, batch)
+        img_u8 = np.asarray(jnp.clip(jnp.transpose(img, (0, 2, 3, 1))
+                                     * 127.5 + 128, 0, 255)).astype(np.uint8)
+        boxes = []
+        for frame in img_u8:
+            try:
+                faces, _ = detect_faces(frame, landmarker.mtcnn)
+            except Exception:
+                faces = []
+            if len(faces):
+                best = faces[np.argmax(np.asarray(faces)[:, 4])]
+                boxes.append(square_crop_box(best))
+            else:
+                # undetected → full frame (the reference swallows detector
+                # failures and reuses original landmarks)
+                boxes.append(np.asarray([0, 0, res, res], np.float32))
+        boxes = np.stack(boxes)
+        lm_all.append(np.asarray(lm_of(landmarker._params, img,
+                                       jnp.asarray(boxes))))
+        boxes_all.append(boxes)
+    return (jnp.asarray(np.concatenate(boxes_all), jnp.float32),
+            jnp.asarray(np.concatenate(lm_all), jnp.float32))
 
 
 
@@ -401,11 +498,14 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
                    mesh: Optional[jax.sharding.Mesh] = None,
                    resume_direction: Optional[np.ndarray] = None,
                    callback: Optional[Callable] = None,
-                   landmarks_metric_fn: Optional[Callable] = None):
+                   landmarks_metric_fn: Optional[Callable] = None,
+                   landmarker=None):
     """Run the full optimization. Returns styles_direction [1, 26, 512].
 
     styles_array: [n_items, 26, 512]; clip_models: {'ViT-B/32': (cfg, params)}.
     callback(iteration, loss, aux, lr, grad_norm, direction) every 10 iters.
+    landmarker (cv.landmarks.Landmarker) is required when
+    fdc.landmarks_in_graph — see that flag's docstring.
     """
     styles_array = jnp.asarray(styles_array, jnp.float32)
     n_items = styles_array.shape[0]
@@ -413,6 +513,18 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
 
     id_feats_orig_all, clip_feats_orig_all = precompute_original_features(
         gen_params, gen_cfg, styles_array, bundles, arcface_params, fdc)
+
+    mobilenet_params = None
+    if fdc.landmarks_in_graph:
+        assert not fdc.split_step, \
+            "landmarks_in_graph is not supported with split_step"
+        assert landmarker is not None, \
+            "landmarks_in_graph needs a landmarker (MTCNN+MobileNet weights)"
+        boxes_all, lm_orig_all = prepare_landmarks_refs(
+            gen_params, gen_cfg, styles_array, fdc, landmarker)
+        clip_feats_orig_all = tuple(clip_feats_orig_all) + (boxes_all,
+                                                            lm_orig_all)
+        mobilenet_params = landmarker._params
 
     if resume_direction is not None:
         delta_s = jnp.asarray(resume_direction, jnp.float32)[:, TRAINABLE]
@@ -433,7 +545,8 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
     num_batches = math.ceil(n_items / fdc.batch_size)
     total_iterations = num_batches * fdc.n_epochs
 
-    loss_fn = make_loss_fn(gen_params, gen_cfg, bundles, arcface_params, fdc)
+    loss_fn = make_loss_fn(gen_params, gen_cfg, bundles, arcface_params, fdc,
+                           mobilenet_params=mobilenet_params)
 
     data_sharding = None
     if mesh is not None:
@@ -446,6 +559,8 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
     else:
         model_params = {"gen": gen_params, "arc": arcface_params,
                         "clip": [b.params for b in bundles]}
+        if mobilenet_params is not None:
+            model_params["mobilenet"] = mobilenet_params
 
         # ONE dispatch per step: the batch gather (idx) and the cosine-LR
         # update ride inside the jit. Separate eager gathers + a host-side
@@ -717,6 +832,9 @@ class DirectionEngine:
                         for n, w in names_weights]
         self.clip_models = clip_models
 
+        assert not fdc.landmarks_in_graph, \
+            "DirectionEngine does not support landmarks_in_graph yet — " \
+            "use find_direction()"
         self.id_feats, self.clip_feats = precompute_original_features(
             gen_params, gen_cfg, self.styles_array, self.bundles,
             arcface_params, fdc)

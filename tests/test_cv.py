@@ -207,3 +207,62 @@ def test_show_bboxes():
     assert arr.shape == (40, 40, 3)
     assert arr[5, 5:21].max() == 255        # white box edge drawn
     assert (arr != 0).any(axis=(0, 1)).all() is not None
+
+
+# ---------------------------------------------------- differentiable crop
+
+def test_crop_resize_bilinear_vs_cv2():
+    """ops.image.crop_resize_bilinear == crop_face's cv2 pipeline
+    (zero border + INTER_LINEAR resize), in-bounds and out-of-bounds."""
+    import cv2
+
+    from stylemc_tpu.ops.image import crop_resize_bilinear
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (64, 80, 3), np.uint8)
+    imgf = jnp.asarray(img.transpose(2, 0, 1)[None], jnp.float32)
+
+    # in-bounds
+    want = cv2.resize(img[6:54, 10:58].astype(np.float32), (224, 224),
+                      interpolation=cv2.INTER_LINEAR)
+    got = np.asarray(crop_resize_bilinear(
+        imgf, np.array([[10.0, 6.0, 58.0, 54.0]]), 224))[0].transpose(1, 2, 0)
+    np.testing.assert_allclose(got, want, atol=0.01)
+
+    # out-of-bounds: cv2 path = zero border then resize
+    crop = cv2.copyMakeBorder(img[0:64, 0:72], 4, 12, 8, 0,
+                              cv2.BORDER_CONSTANT, 0)
+    want2 = cv2.resize(crop.astype(np.float32), (224, 224),
+                       interpolation=cv2.INTER_LINEAR)
+    got2 = np.asarray(crop_resize_bilinear(
+        imgf, np.array([[-8.0, -4.0, 72.0, 76.0]]), 224))[0].transpose(1, 2, 0)
+    np.testing.assert_allclose(got2, want2, atol=0.01)
+
+
+def test_crop_resize_bilinear_differentiable():
+    from stylemc_tpu.ops.image import crop_resize_bilinear
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 32, 32))
+    boxes = np.array([[4.0, 4.0, 28.0, 28.0], [-2.0, 0.0, 30.0, 32.0]])
+
+    g = jax.grad(lambda im: jnp.sum(
+        jnp.square(crop_resize_bilinear(im, boxes, 64))))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_square_crop_box_matches_crop_face():
+    """square_crop_box reproduces crop_face's integer box arithmetic."""
+    from stylemc_tpu.ops.image import square_crop_box
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (96, 96, 3), np.uint8)
+    for x1, y1, x2, y2 in [(10, 12, 60, 70), (3, 5, 90, 88), (40, 2, 95, 50)]:
+        face = np.array([x1, y1, x2, y2, 0.9], np.float32)
+        _, orig_size, bbox = crop_face(img, [face], 224)
+        bx = square_crop_box(face)
+        # crop_face returns the CLIPPED box; ours is unclipped — clip here
+        np.testing.assert_allclose(
+            [max(0, bx[0]), max(0, bx[1]),
+             min(96, bx[2]), min(96, bx[3])], bbox)
+        assert int(bx[2] - bx[0]) == orig_size

@@ -527,3 +527,40 @@ def test_direction_engine_optimize_batch_zoo_mesh_2d(setup):
     norms_m = np.linalg.norm(np.asarray(d_mesh).reshape(2, -1), axis=1)
     norms_p = np.linalg.norm(np.asarray(d_plain).reshape(2, -1), axis=1)
     np.testing.assert_allclose(norms_m, norms_p, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_find_direction_landmarks_in_graph(setup):
+    """The in-graph differentiable landmarks loss runs end-to-end: the term
+    appears in aux with a nonzero value once the edit moves the landmarks,
+    the run stays finite, and the trained direction differs from the
+    logging-only run (i.e. the term really contributes gradient). The stub
+    landmarker has no MTCNN — every face falls back to the full-frame box,
+    which is exactly the undetected-face path."""
+    import types
+
+    from stylemc_tpu.models.mobilenet import init_mobilenet_gdconv_params
+
+    gen_cfg, gen_params, clip_models, arcface, styles = setup
+    landmarker = types.SimpleNamespace(
+        mtcnn=None,
+        _params=init_mobilenet_gdconv_params(jax.random.PRNGKey(3)))
+
+    aux_seen = {}
+
+    def cb(it, loss, aux, lr, gn, direction):
+        aux_seen.update(aux)
+
+    fdc = _fdc(clip_type="small", landmarks_in_graph=True,
+               landmarks_loss_coef=100.0, n_epochs=4)
+    d_lm, info = find_direction(gen_params, gen_cfg, styles[:4], clip_models,
+                                arcface, fdc, tokenizer=FallbackTokenizer(),
+                                landmarker=landmarker, callback=cb)
+    assert np.isfinite(info["history"]).all()
+    assert "landmarks_loss" in aux_seen
+    assert np.isfinite(aux_seen["landmarks_loss"])
+
+    fdc0 = _fdc(clip_type="small", landmarks_loss_coef=0.0, n_epochs=4)
+    d_base, _ = find_direction(gen_params, gen_cfg, styles[:4], clip_models,
+                               arcface, fdc0, tokenizer=FallbackTokenizer())
+    assert np.abs(np.asarray(d_lm) - np.asarray(d_base)).max() > 1e-6
