@@ -51,14 +51,28 @@ def train_latent_mapper(gen_params, gen_cfg: GeneratorConfig, styles_array,
                         mesh: Optional[jax.sharding.Mesh] = None,
                         gen2: Optional[Tuple] = None,
                         resume_params=None,
-                        callback: Optional[Callable] = None):
-    """Returns (mapper_params, info)."""
+                        callback: Optional[Callable] = None,
+                        landmarker=None):
+    """Returns (mapper_params, info). `landmarker` enables
+    mtc.landmarks_in_graph exactly as in find_direction()."""
     styles_array = jnp.asarray(styles_array, jnp.float32)
     n_items = styles_array.shape[0]
     bundles = make_clip_bundles(mtc, clip_models, tokenizer)
 
     id_feats_orig_all, clip_feats_orig_all = precompute_original_features(
         gen_params, gen_cfg, styles_array, bundles, arcface_params, mtc)
+
+    mobilenet_params = None
+    if mtc.landmarks_in_graph:
+        from .find_direction import prepare_landmarks_refs
+
+        assert landmarker is not None, \
+            "landmarks_in_graph needs a landmarker (MTCNN+MobileNet weights)"
+        boxes_all, lm_orig_all = prepare_landmarks_refs(
+            gen_params, gen_cfg, styles_array, mtc, landmarker)
+        clip_feats_orig_all = tuple(clip_feats_orig_all) + (boxes_all,
+                                                            lm_orig_all)
+        mobilenet_params = landmarker._params
 
     mapper_params = resume_params if resume_params is not None else \
         init_mapper_params(jax.random.PRNGKey(mtc.seed))
@@ -68,7 +82,8 @@ def train_latent_mapper(gen_params, gen_cfg: GeneratorConfig, styles_array,
         return styles.at[:, TRAINABLE].add(delta)
 
     loss_fn = make_loss_fn(gen_params, gen_cfg, bundles, arcface_params, mtc,
-                           edit_fn=edit_fn, edit_gen=gen2)
+                           edit_fn=edit_fn, edit_gen=gen2,
+                           mobilenet_params=mobilenet_params)
 
     optimizer = optax.inject_hyperparams(optax.adam)(
         learning_rate=mtc.learning_rate, b1=0.9, b2=0.999)
@@ -85,6 +100,8 @@ def train_latent_mapper(gen_params, gen_cfg: GeneratorConfig, styles_array,
     model_params = {"gen": gen2[0] if gen2 is not None else gen_params,
                     "arc": arcface_params,
                     "clip": [b.params for b in bundles]}
+    if mobilenet_params is not None:
+        model_params["mobilenet"] = mobilenet_params
 
     # ONE dispatch per step (cf. find_direction): batch gather + cosine-LR
     # update inside the jit; the mesh path keeps the pre-gathered signature.

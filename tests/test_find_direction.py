@@ -564,3 +564,24 @@ def test_find_direction_landmarks_in_graph(setup):
     d_base, _ = find_direction(gen_params, gen_cfg, styles[:4], clip_models,
                                arcface, fdc0, tokenizer=FallbackTokenizer())
     assert np.abs(np.asarray(d_lm) - np.asarray(d_base)).max() > 1e-6
+
+
+@pytest.mark.slow
+def test_latent_mapper_landmarks_in_graph(setup):
+    import types
+
+    from stylemc_tpu.models.mobilenet import init_mobilenet_gdconv_params
+
+    gen_cfg, gen_params, clip_models, arcface, styles = setup
+    landmarker = types.SimpleNamespace(
+        mtcnn=None,
+        _params=init_mobilenet_gdconv_params(jax.random.PRNGKey(4)))
+    mtc = MapperTrainConfig(
+        resolution=32, batch_size=4, n_epochs=1, learning_rate=0.05,
+        clip_type="small", arcface_layout=TINY_ARCFACE_LAYOUT,
+        landmarks_in_graph=True, landmarks_loss_coef=10.0)
+    mp, info = train_latent_mapper(gen_params, gen_cfg, styles[:4],
+                                   clip_models, arcface, mtc,
+                                   tokenizer=FallbackTokenizer(),
+                                   landmarker=landmarker)
+    assert np.isfinite(info["history"]).all()
