@@ -37,11 +37,15 @@ import numpy as np
 @click.option("--power_sweep", type=str, default=None,
               help="'start:end:steps' — render a change_power sweep per item "
                    "and save an animated GIF (video mode)")
+@click.option("--from_video", is_flag=True, default=False,
+              help="Reference README video mode (README.md:53-56): animate "
+                   "the manipulation steps 0 → change_power as a GIF "
+                   "(shorthand for --power_sweep '0:<change_power>:25')")
 @click.option("--batch", type=int, default=8,
               help="TPU batching for the non-blending path")
 def main(network_pkl, network2_pkl, noise_mode, projected_w, s_input,
          use_mapper, n, outdir, text_prompt, change_power, mapper_neg_slope,
-         use_blending, use_whitelist, power_sweep, batch):
+         use_blending, use_whitelist, power_sweep, from_video, batch):
     import jax.numpy as jnp
     from PIL import Image
     from ..io import load_generator, load_state_dict_numpy
@@ -103,6 +107,8 @@ def main(network_pkl, network2_pkl, noise_mode, projected_w, s_input,
 
     n_items = styles.shape[0]
 
+    if from_video and not power_sweep:
+        power_sweep = f"0:{change_power}:25"
     if power_sweep:
         # video mode: change_power sweep rendered as animated GIFs
         start, end, steps = power_sweep.split(":")

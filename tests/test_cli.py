@@ -177,6 +177,20 @@ def test_power_sweep_video_mode(pkl_path, tmp_path):
     from PIL import Image
     gif = Image.open(os.path.join(outdir, gifs[0]))
     assert getattr(gif, "n_frames", 1) == 4
+    # --from_video (reference README.md:53-56) = shorthand sweep 0→power
+    outdir2 = os.path.join(str(tmp_path), "video_out")
+    os.makedirs(outdir2, exist_ok=True)
+    np.savez(os.path.join(outdir2, "direction_sweepy.npz"), s=d)
+    r = runner.invoke(generate_fromS,
+                      ["--network", pkl_path, "--s_input", s_file,
+                       "--outdir", outdir2, "--text_prompt", "sweepy",
+                       "--from_video", "--change_power", "2"],
+                      catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    gifs = [f for f in os.listdir(outdir2) if f.endswith(".gif")]
+    assert len(gifs) == 1
+    gif = Image.open(os.path.join(outdir2, gifs[0]))
+    assert getattr(gif, "n_frames", 1) == 25
 
 
 def test_all_clis_help():

@@ -22,7 +22,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from stylemc_tpu.metrics.feature_stats import FeatureStats
 from stylemc_tpu.parallel import stats as pstats
