@@ -145,6 +145,18 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
             len(text_prompts.split("|")):
         raise click.BadParameter(
             "--negative_text_prompts count must match --text_prompts")
+    if text_prompts and landmarks_grad:
+        raise click.BadParameter(
+            "--landmarks_grad is not supported with --text_prompts (the "
+            "prompt-sweep DirectionEngine builds a fused step without the "
+            "in-graph landmarks loss) — run per-prompt find_direction "
+            "instead")
+    if resume and os.path.isdir(resume) and not (text_prompts and
+                                                 batch_prompts):
+        raise click.BadParameter(
+            "--resume as a directory (per-prompt direction_<tag>.npz "
+            "lookup) requires --text_prompts --batch_prompts; pass a "
+            "single .npz otherwise")
 
     print(f'Loading networks from "{network_pkl}"...')
     cfg, params = load_generator(network_pkl)
@@ -179,7 +191,7 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
     mesh = data_mesh(max_size=batch_size) if data_parallel else None
 
     resume_direction = None
-    if resume:
+    if resume and not os.path.isdir(resume):
         resume_direction = np.load(resume)["s"].astype(np.float32)
         print(f"Loaded direction from {resume}")
 
@@ -201,7 +213,11 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
     # with --landmarks_grad, the in-graph differentiable loss
     landmarks_metric_fn = None
     landmarker = None
-    if landmarks_loss_coef != 0:
+    if text_prompts and landmarks_loss_coef != 0:
+        print("note: the landmarks metric is not computed on the "
+              "--text_prompts sweep path (it is logging-only and carries "
+              "no gradient; see --landmarks_grad)")
+    elif landmarks_loss_coef != 0:
         try:
             from ..cv.landmarks import default_landmarker
             landmarker = default_landmarker()

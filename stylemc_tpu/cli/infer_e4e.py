@@ -58,9 +58,9 @@ def main(images_dir, checkpoint_path, save_dir, align, stylegan_size, batch,
     def _decode_u8(dec_params, codes):
         # one jit graph: decode + uint8 NHWC conversion ON DEVICE (4x fewer
         # host-link bytes than fetching fp32 NCHW, and no eager dispatch)
+        from ..edit import to_u8_nhwc
         img = _dc.replace(psp, decoder_params=dec_params).decode(codes)
-        return jnp.clip(jnp.transpose(img, (0, 2, 3, 1)) * 127.5 + 128,
-                        0, 255).astype(jnp.uint8)
+        return to_u8_nhwc(img)
 
     _decode_u8_jit = jax.jit(_decode_u8)
 

@@ -105,10 +105,14 @@ class EditService:
             imgs_u8, change_power=power, pairs=pairs,
             direction_name=direction_name))
 
+    def record_error(self) -> None:
+        with self._lock:  # handler threads race on the read-modify-write
+            self.errors += 1
+
     def stats(self):
         with self._lock:
             lat = np.asarray(self._latencies[-1000:]) * 1e3
-        out = {"requests": self.requests, "errors": self.errors}
+            out = {"requests": self.requests, "errors": self.errors}
         if self._dispatcher is not None:
             out.update(batched_calls=self._dispatcher.batched_calls,
                        coalesced_items=self._dispatcher.coalesced_items)
@@ -171,7 +175,7 @@ def make_handler(service: EditService):
                 else:
                     self._send(404, b"not found")
             except Exception as e:  # noqa: BLE001 — serving must not die
-                service.errors += 1
+                service.record_error()
                 self._send(500, f"error: {e}".encode())
 
         def do_POST(self):
@@ -200,7 +204,7 @@ def make_handler(service: EditService):
                     direction_name=dname)
                 self._send_image(out[0], fmt)
             except Exception as e:  # noqa: BLE001 — serving must not die
-                service.errors += 1
+                service.record_error()
                 self._send(500, f"error: {e}".encode())
 
     return Handler

@@ -23,6 +23,8 @@ def _overlay(img: np.ndarray, landmarks: np.ndarray) -> np.ndarray:
     out = img.copy()
     h, w = out.shape[:2]
     for x, y in np.asarray(landmarks, np.int64):
+        if not (0 <= y < h and 0 <= x < w):
+            continue  # out-of-frame point; a negative slice end would wrap
         y0, y1 = max(0, y - 1), min(h, y + 2)
         x0, x1 = max(0, x - 1), min(w, x + 2)
         out[y0:y1, x0:x1] = 255

@@ -80,11 +80,20 @@ def mapper_directions_batched(mapper_params, styles, neg_slope: float = 0.01,
     return directions
 
 
+def to_u8_nhwc(img) -> jnp.ndarray:
+    """[N,3,H,W] in [-1,1] → uint8 [N,H,W,3], traceable (jit-safe).
+
+    THE framework-wide [-1,1]→uint8 convention (reference
+    generate_fromS.py:174-175: img·127.5+128, clamp, round-to-zero cast).
+    Inside a jit this runs on device — a quarter of the fp32 NCHW bytes
+    over the host link."""
+    return jnp.clip(jnp.transpose(img, (0, 2, 3, 1)) * 127.5 + 128,
+                    0, 255).astype(jnp.uint8)
+
+
 def to_uint8_hwc(img) -> np.ndarray:
-    """[N,3,H,W] in [-1,1] → uint8 [N,H,W,3] (reference :174-175)."""
-    x = np.asarray(jnp.clip(jnp.transpose(img, (0, 2, 3, 1)) * 127.5 + 128,
-                            0, 255))
-    return x.astype(np.uint8)
+    """Host-side to_u8_nhwc: fetches the result as a numpy array."""
+    return np.asarray(to_u8_nhwc(img))
 
 
 def resize_mask_area(mask: np.ndarray, res: int) -> np.ndarray:

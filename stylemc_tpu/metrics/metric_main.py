@@ -78,7 +78,7 @@ def _gen_images(opts: MetricOptions, n: int):
     that sharding from its input — generator + detector both run
     data-parallel with no host round-trip in between."""
     import jax
-    import jax.numpy as jnp
+    from ..edit import to_u8_nhwc
     from ..models.stylegan2.generator import mapping, w_to_s, synthesis
 
     def run(gp, z):
@@ -86,9 +86,7 @@ def _gen_images(opts: MetricOptions, n: int):
         # HLO literals — fatal for remote-compile toolchains)
         ws = mapping(gp, opts.gen_cfg, z)
         s = w_to_s(gp, opts.gen_cfg, ws)
-        img = synthesis(gp, opts.gen_cfg, s)
-        img = jnp.clip(jnp.transpose(img, (0, 2, 3, 1)) * 127.5 + 128, 0, 255)
-        return img.astype(jnp.uint8)
+        return to_u8_nhwc(synthesis(gp, opts.gen_cfg, s))
 
     if opts.mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

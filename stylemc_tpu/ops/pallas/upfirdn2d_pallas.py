@@ -175,6 +175,10 @@ def upsample2d_pallas(x, f, up: int = 2, padding=0, flip_filter: bool = False,
     usable = (
         up == 2 and padding == 0 and h * w <= _MAX_PLANE
         and h % 8 == 0 and w % 128 == 0
+        # row tiling must cover h exactly (grid = h // hb); this condition
+        # also covers the backward pass, whose down-kernel re-invocation on
+        # the [2h, 2w] cotangent tiles h output rows with the same hb
+        and (h <= _ROW_TILE or h % _ROW_TILE == 0)
         and (force or jax.default_backend() == "tpu")
     )
     taps = _canonical_taps(np.asarray(f), gain * up * up, flip_filter) \
@@ -265,6 +269,10 @@ def downsample2d_pallas(x, f, down: int = 2, padding=0,
     usable = (
         down == 2 and padding == 0 and h * w <= 4 * _MAX_PLANE
         and h % 16 == 0 and w % 256 == 0
+        # row tiling must cover h//2 output rows exactly (grid floor-divides
+        # by hb); also covers the backward up-kernel re-invocation on the
+        # [h//2, w//2] cotangent, which tiles with the same hb
+        and (h // 2 <= _ROW_TILE or (h // 2) % _ROW_TILE == 0)
         and (force or jax.default_backend() == "tpu")
     )
     taps = _canonical_taps(np.asarray(f), gain, flip_filter) if usable else None

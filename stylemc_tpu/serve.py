@@ -26,7 +26,7 @@ from .models.stylegan2.generator import (GeneratorConfig, inference_cfg,
                                          mapping, w_to_s, synthesis)
 from .models.mapper import mapper_apply
 from .edit import (N_STYLE_CHANNELS, STYLE_DIM, TRAINABLE,
-                   mapper_directions_batched)
+                   mapper_directions_batched, to_u8_nhwc)
 
 
 def _apply_precision(cfg: GeneratorConfig, precision: str) -> GeneratorConfig:
@@ -101,8 +101,7 @@ class BatchEditor:
             # uint8 NHWC conversion ON DEVICE: a quarter of the fp32 NCHW
             # bytes over the host link (matters on tunneled devices)
             img = synthesis(gp, self.cfg, s, noise_mode=self.noise_mode)
-            img = jnp.transpose(img, (0, 2, 3, 1)) * 127.5 + 128
-            return jnp.clip(img, 0, 255).astype(jnp.uint8)
+            return to_u8_nhwc(img)
 
         self._styles_from_z_plain = jax.jit(_styles_fn)
         self._render_plain = jax.jit(_render_u8)
@@ -273,10 +272,16 @@ class BatchEditor:
                                 direction_name=direction_name)
 
     def warmup(self):
-        """Compile every bucket ahead of serving."""
+        """Compile every bucket ahead of serving (the edit path and, when an
+        inverter is attached, the e4e invert path — otherwise the first
+        POST /edit_image pays the encoder trace+compile in-request)."""
         for b in self.buckets:
             s = jnp.zeros((b, N_STYLE_CHANNELS, STYLE_DIM), jnp.float32)
             self.edit_styles(s, change_power=0.0)
+        if self._invert is not None:
+            for b in self.buckets:
+                x = np.zeros((b, 256, 256, 3), np.uint8)
+                jax.block_until_ready(self.invert_images(x))
 
     # ------------------------------------------------------------- loading
 

@@ -31,6 +31,7 @@ reproduce the reported number.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 import math
@@ -172,6 +173,65 @@ def _clip_image_features(bundle: CLIPBundle, img, clip_loss_type: str = "default
     return encode_image(params, bundle.cfg, x).astype(jnp.float32)
 
 
+def _repr_keyed_cache(maxsize: int):
+    """lru_cache keyed on repr(args): the frozen configs aren't reliably
+    hashable (resample_filter may arrive as a list), but their reprs are
+    stable and capture every traced-in value."""
+    def deco(fn):
+        cache: collections.OrderedDict = collections.OrderedDict()
+
+        @functools.wraps(fn)
+        def wrapper(*args):
+            key = repr(args)
+            hit = cache.get(key)
+            if hit is not None:
+                cache.move_to_end(key)
+                return hit
+            out = fn(*args)
+            if len(cache) >= maxsize:
+                cache.popitem(last=False)
+            cache[key] = out
+            return out
+        wrapper.cache = cache
+        return wrapper
+    return deco
+
+
+@_repr_keyed_cache(maxsize=8)
+def _render_graph(gen_cfg: GeneratorConfig, until_k, noise_mode: str):
+    """Jitted synthesis forward, cached across find_direction calls (the
+    key is pure frozen config; weights ride as the `gp` argument). Fresh
+    `jax.jit(lambda...)` per call would retrace every invocation —
+    tens of seconds of host time on repeat runs."""
+    return jax.jit(lambda gp, s: synthesis(gp, gen_cfg, s,
+                                           until_k=until_k,
+                                           noise_mode=noise_mode))
+
+
+@_repr_keyed_cache(maxsize=8)
+def _render_u8_graph(gen_cfg: GeneratorConfig, until_k, noise_mode: str):
+    """Synthesis + on-device uint8 NHWC conversion in one jit (4× fewer
+    host-link bytes than fp32 NCHW), cached like _render_graph."""
+    from ..edit import to_u8_nhwc
+    return jax.jit(lambda gp, s: to_u8_nhwc(
+        synthesis(gp, gen_cfg, s, until_k=until_k, noise_mode=noise_mode)))
+
+
+@_repr_keyed_cache(maxsize=4)
+def _id_feats_graph(arcface_layout: str):
+    return jax.jit(lambda ap, img: extract_feats(ap, img, arcface_layout))
+
+
+@_repr_keyed_cache(maxsize=8)
+def _clip_feats_graph(cfg, clip_loss_type: str, dtype: str):
+    """cfg is the frozen CLIPConfig; params always arrive via the
+    clip_params jit argument, so the traced graph carries no weights."""
+    shell = CLIPBundle(cfg=cfg, params=None, weight=1.0)
+    return jax.jit(functools.partial(_clip_image_features, shell,
+                                     clip_loss_type=clip_loss_type,
+                                     dtype=dtype))
+
+
 def precompute_original_features(gen_params, gen_cfg: GeneratorConfig,
                                  styles_array, bundles: List[CLIPBundle],
                                  arcface_params, fdc: FindDirectionConfig,
@@ -182,15 +242,12 @@ def precompute_original_features(gen_params, gen_cfg: GeneratorConfig,
     # Separate jits per model, with the WEIGHTS passed as arguments: each
     # graph compiles (and caches) independently and carries no weight
     # literals — monolithic/constant-laden graphs choke remote-TPU
-    # toolchains (HTTP 413 / multi-minute compiles).
-    render = jax.jit(lambda gp, s: synthesis(gp, gen_cfg, s,
-                                             until_k=until_k,
-                                             noise_mode=fdc.noise_mode))
-    id_feats = jax.jit(lambda ap, img: extract_feats(ap, img,
-                                                     fdc.arcface_layout))
-    clip_feats = [jax.jit(functools.partial(_clip_image_features, b,
-                                            clip_loss_type=fdc.clip_loss_type,
-                                            dtype=fdc.perception_dtype))
+    # toolchains (HTTP 413 / multi-minute compiles). The jit wrappers are
+    # module-cached (pure-config keys) so repeat calls skip the retrace.
+    render = _render_graph(gen_cfg, until_k, fdc.noise_mode)
+    id_feats = _id_feats_graph(fdc.arcface_layout)
+    clip_feats = [_clip_feats_graph(b.cfg, fdc.clip_loss_type,
+                                    fdc.perception_dtype)
                   for b in bundles]
 
     def feats(styles):
@@ -372,9 +429,7 @@ def prepare_landmarks_refs(gen_params, gen_cfg: GeneratorConfig,
     from ..ops.image import crop_resize_bilinear, square_crop_box
 
     until_k = until_k_for_resolution(fdc.resolution)
-    render = jax.jit(lambda gp, s: synthesis(gp, gen_cfg, s,
-                                             until_k=until_k,
-                                             noise_mode=fdc.noise_mode))
+    render = _render_graph(gen_cfg, until_k, fdc.noise_mode)
 
     @jax.jit
     def lm_of(mb, img, boxes):
@@ -387,11 +442,11 @@ def prepare_landmarks_refs(gen_params, gen_cfg: GeneratorConfig,
     n = styles_array.shape[0]
     res = float(fdc.resolution)
     boxes_all, lm_all = [], []
+    from ..edit import to_uint8_hwc
     for i in range(0, n, chunk):
         batch = jnp.asarray(styles_array[i:i + chunk])
         img = render(gen_params, batch)
-        img_u8 = np.asarray(jnp.clip(jnp.transpose(img, (0, 2, 3, 1))
-                                     * 127.5 + 128, 0, 255)).astype(np.uint8)
+        img_u8 = to_uint8_hwc(img)
         boxes = []
         for frame in img_u8:
             try:
@@ -491,6 +546,124 @@ def _make_split_step(gen_params, gen_cfg: GeneratorConfig,
     return step
 
 
+class _FusedGraphs:
+    """Jitted fused-step callables shared across find_direction calls."""
+
+    def __init__(self, optimizer, step, step_batch, multi_step):
+        self.optimizer = optimizer
+        self.step = step
+        self.step_batch = step_batch
+        self.multi_step = multi_step
+
+
+def _bundles_fingerprint(bundles: List[CLIPBundle]) -> str:
+    """Hash of everything a bundle bakes into the traced loss graph: the
+    tower config, the loss weight, and the prompt-derived text anchors
+    (which become HLO constants)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for b in bundles:
+        h.update(repr((b.cfg, b.weight)).encode())
+        if b.text_direction is not None:
+            h.update(np.asarray(b.text_direction).tobytes())
+        if b.nada_anchors is not None:
+            for leaf in jax.tree_util.tree_leaves(b.nada_anchors):
+                h.update(np.asarray(leaf).tobytes())
+    return h.hexdigest()
+
+
+_FUSED_CACHE: Dict[Tuple, _FusedGraphs] = {}
+_FUSED_CACHE_MAX = 2
+
+
+def _fused_step_graphs(gen_cfg: GeneratorConfig, fdc: FindDirectionConfig,
+                       bundles: List[CLIPBundle],
+                       has_mobilenet: bool) -> _FusedGraphs:
+    """The fused training-step graphs, CACHED across find_direction calls.
+
+    Every weight pytree (generator / ArcFace / CLIP / MobileNet) routes
+    through the `mp` jit argument, so the traced step depends only on
+    (gen_cfg, fdc, bundle anchors) — the cache key. A repeat call with the
+    same config (the warm benchmark run, or re-running the same prompt)
+    reuses the jitted callables and skips the full Python retrace of
+    synthesis + CLIP + ArcFace fwd+bwd — tens of seconds on slow hosts
+    (DirectionEngine gives prompt sweeps the same property via runtime
+    text anchors; this covers repeat same-prompt invocations).
+    Small FIFO bound: entries pin their XLA executables.
+    """
+    key = (repr(gen_cfg), repr(fdc), _bundles_fingerprint(bundles),
+           has_mobilenet)
+    hit = _FUSED_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    optimizer = optax.inject_hyperparams(optax.sgd)(
+        learning_rate=fdc.learning_rate)
+    # weights route via `mp` on every call path below; the closure
+    # fallbacks are intentionally None so accidental use fails loudly
+    # (and no stale param pytree is pinned by the cache)
+    loss_fn = make_loss_fn(None, gen_cfg, bundles, None, fdc)
+
+    # ONE dispatch per step: the batch gather (idx) and the cosine-LR
+    # update ride inside the jit. Separate eager gathers + a host-side
+    # hyperparam set cost ~4 extra device round-trips per step on
+    # high-latency (tunneled) links.
+    @jax.jit
+    def _step(delta_s, opt_state, idx, lr, all_s, all_id, all_clip, mp):
+        opt_state = opt_state._replace(
+            hyperparams=dict(opt_state.hyperparams, learning_rate=lr))
+        styles = jnp.take(all_s, idx, axis=0)
+        id_f = jnp.take(all_id, idx, axis=0)
+        clip_f = tuple(jnp.take(c, idx, axis=0) for c in all_clip)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            delta_s, styles, id_f, clip_f, mp)
+        updates, opt_state = optimizer.update(grads, opt_state, delta_s)
+        delta_s = optax.apply_updates(delta_s, updates)
+        grad_norm = jnp.linalg.norm(grads.reshape(-1))
+        return delta_s, opt_state, loss, aux, grad_norm, styles
+
+    # mesh path keeps the pre-gathered signature: the batch is indexed
+    # on host and device_put with a NamedSharding before the call
+    @jax.jit
+    def _step_batch(delta_s, opt_state, styles, id_f, clip_f, mp):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            delta_s, styles, id_f, clip_f, mp)
+        updates, opt_state = optimizer.update(grads, opt_state, delta_s)
+        delta_s = optax.apply_updates(delta_s, updates)
+        grad_norm = jnp.linalg.norm(grads.reshape(-1))
+        return delta_s, opt_state, loss, aux, grad_norm
+
+    # lax.scan over K steps → ONE dispatch per K steps (steps_per_dispatch).
+    # The body is the same value_and_grad + optimizer.update graph as _step,
+    # so numerics match the unrolled loop; lrs are host-computed per step
+    # (float64 cosine, as in the unrolled path) and fed in as scan inputs.
+    @jax.jit
+    def multi_step(delta_s, opt_state, styles_k, id_k, clip_k, lrs, mp):
+        def body(carry, xs):
+            d, os = carry
+            styles, id_f, clip_f, lr = xs
+            os = os._replace(
+                hyperparams=dict(os.hyperparams, learning_rate=lr))
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(d, styles, id_f, clip_f, mp)
+            updates, os = optimizer.update(grads, os, d)
+            d = optax.apply_updates(d, updates)
+            gn = jnp.linalg.norm(grads.reshape(-1))
+            # per-step Δs snapshot (tiny: 8×512 floats) so callbacks
+            # inside the chunk see the direction as of THEIR step
+            return (d, os), (loss, aux, gn, d)
+        (delta_s, opt_state), (losses, auxs, gns, deltas) = jax.lax.scan(
+            body, (delta_s, opt_state), (styles_k, id_k, clip_k, lrs))
+        return delta_s, opt_state, losses, auxs, gns, deltas
+
+    entry = _FusedGraphs(optimizer, _step, _step_batch, multi_step)
+    if len(_FUSED_CACHE) >= _FUSED_CACHE_MAX:
+        _FUSED_CACHE.pop(next(iter(_FUSED_CACHE)))
+    _FUSED_CACHE[key] = entry
+    return entry
+
+
 def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
                    clip_models: Dict[str, Tuple], arcface_params,
                    fdc: FindDirectionConfig,
@@ -538,98 +711,50 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
             jax.random.PRNGKey(fdc.seed),
             (1, len(TRAINABLE), STYLE_DIM), jnp.float32) * 1e-3
 
-    optimizer = optax.inject_hyperparams(optax.sgd)(
-        learning_rate=fdc.learning_rate)
-    opt_state = optimizer.init(delta_s)
-
     num_batches = math.ceil(n_items / fdc.batch_size)
     total_iterations = num_batches * fdc.n_epochs
-
-    loss_fn = make_loss_fn(gen_params, gen_cfg, bundles, arcface_params, fdc,
-                           mobilenet_params=mobilenet_params)
 
     data_sharding = None
     if mesh is not None:
         data_sharding = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec("data"))
 
+    multi_step = None
     if fdc.split_step:
+        optimizer = optax.inject_hyperparams(optax.sgd)(
+            learning_rate=fdc.learning_rate)
         step = _make_split_step(gen_params, gen_cfg, bundles, arcface_params,
                                 fdc, optimizer)
+        if fdc.steps_per_dispatch > 1:
+            import warnings
+            warnings.warn(
+                "steps_per_dispatch > 1 is ignored when split_step=True "
+                "(split_step bounds per-graph compile size; a K-step scan "
+                "would undo that) — running per-step dispatch", stacklevel=2)
     else:
         model_params = {"gen": gen_params, "arc": arcface_params,
                         "clip": [b.params for b in bundles]}
         if mobilenet_params is not None:
             model_params["mobilenet"] = mobilenet_params
 
-        # ONE dispatch per step: the batch gather (idx) and the cosine-LR
-        # update ride inside the jit. Separate eager gathers + a host-side
-        # hyperparam set cost ~4 extra device round-trips per step on
-        # high-latency (tunneled) links.
-        @jax.jit
-        def _step(delta_s, opt_state, idx, lr, all_s, all_id, all_clip, mp):
-            opt_state = opt_state._replace(
-                hyperparams=dict(opt_state.hyperparams, learning_rate=lr))
-            styles = jnp.take(all_s, idx, axis=0)
-            id_f = jnp.take(all_id, idx, axis=0)
-            clip_f = tuple(jnp.take(c, idx, axis=0) for c in all_clip)
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                delta_s, styles, id_f, clip_f, mp)
-            updates, opt_state = optimizer.update(grads, opt_state, delta_s)
-            delta_s = optax.apply_updates(delta_s, updates)
-            grad_norm = jnp.linalg.norm(grads.reshape(-1))
-            return delta_s, opt_state, loss, aux, grad_norm, styles
+        graphs = _fused_step_graphs(gen_cfg, fdc, bundles,
+                                    mobilenet_params is not None)
+        optimizer = graphs.optimizer
 
         def step_idx(delta_s, opt_state, idx, lr):
-            return _step(delta_s, opt_state, jnp.asarray(idx, jnp.int32),
-                         jnp.float32(lr), styles_array, id_feats_orig_all,
-                         clip_feats_orig_all, model_params)
-
-        # mesh path keeps the pre-gathered signature: the batch is indexed
-        # on host and device_put with a NamedSharding before the call
-        @jax.jit
-        def _step_batch(delta_s, opt_state, styles, id_f, clip_f, mp):
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                delta_s, styles, id_f, clip_f, mp)
-            updates, opt_state = optimizer.update(grads, opt_state, delta_s)
-            delta_s = optax.apply_updates(delta_s, updates)
-            grad_norm = jnp.linalg.norm(grads.reshape(-1))
-            return delta_s, opt_state, loss, aux, grad_norm
+            return graphs.step(delta_s, opt_state,
+                               jnp.asarray(idx, jnp.int32), jnp.float32(lr),
+                               styles_array, id_feats_orig_all,
+                               clip_feats_orig_all, model_params)
 
         def step(delta_s, opt_state, styles, id_f, clip_f):
-            return _step_batch(delta_s, opt_state, styles, id_f, clip_f,
-                               model_params)
+            return graphs.step_batch(delta_s, opt_state, styles, id_f,
+                                     clip_f, model_params)
 
-    multi_step = None
-    if fdc.steps_per_dispatch > 1 and fdc.split_step:
-        import warnings
-        warnings.warn(
-            "steps_per_dispatch > 1 is ignored when split_step=True "
-            "(split_step bounds per-graph compile size; a K-step scan would "
-            "undo that) — running per-step dispatch", stacklevel=2)
-    if fdc.steps_per_dispatch > 1 and not fdc.split_step:
-        # lax.scan over K steps → ONE dispatch per K steps. The body is the
-        # same value_and_grad + optimizer.update graph as _step, so numerics
-        # match the unrolled loop; lrs are host-computed per step (float64
-        # cosine, as in the unrolled path) and fed in as scan inputs.
-        @jax.jit
-        def multi_step(delta_s, opt_state, styles_k, id_k, clip_k, lrs, mp):
-            def body(carry, xs):
-                d, os = carry
-                styles, id_f, clip_f, lr = xs
-                os = os._replace(
-                    hyperparams=dict(os.hyperparams, learning_rate=lr))
-                (loss, aux), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(d, styles, id_f, clip_f, mp)
-                updates, os = optimizer.update(grads, os, d)
-                d = optax.apply_updates(d, updates)
-                gn = jnp.linalg.norm(grads.reshape(-1))
-                # per-step Δs snapshot (tiny: 8×512 floats) so callbacks
-                # inside the chunk see the direction as of THEIR step
-                return (d, os), (loss, aux, gn, d)
-            (delta_s, opt_state), (losses, auxs, gns, deltas) = jax.lax.scan(
-                body, (delta_s, opt_state), (styles_k, id_k, clip_k, lrs))
-            return delta_s, opt_state, losses, auxs, gns, deltas
+        if fdc.steps_per_dispatch > 1:
+            multi_step = graphs.multi_step
+
+    opt_state = optimizer.init(delta_s)
 
     rng = np.random.RandomState(fdc.seed)
     cur_iteration = 0
@@ -772,15 +897,14 @@ def make_landmarks_metric_fn(gen_params, gen_cfg: GeneratorConfig,
 
     until_k = until_k_for_resolution(fdc.resolution)
 
-    @jax.jit
+    _render_u8 = _render_u8_graph(gen_cfg, until_k, fdc.noise_mode)
+
     def render(styles):
-        img = synthesis(gen_params, gen_cfg, styles, until_k=until_k,
-                        noise_mode=fdc.noise_mode)
-        return jnp.clip(jnp.transpose(img, (0, 2, 3, 1)) * 127.5 + 128, 0, 255)
+        return np.asarray(_render_u8(gen_params, styles))
 
     def metric(direction, styles):
-        orig_u8 = np.asarray(render(styles)).astype(np.uint8)
-        edit_u8 = np.asarray(render(styles + direction)).astype(np.uint8)
+        orig_u8 = render(styles)
+        edit_u8 = render(styles + direction)
         lm1 = landmarker.detect_batch(list(orig_u8))
         if lm1 is None:
             return 0.0
@@ -835,6 +959,13 @@ class DirectionEngine:
         assert not fdc.landmarks_in_graph, \
             "DirectionEngine does not support landmarks_in_graph yet — " \
             "use find_direction()"
+        if fdc.split_step or fdc.steps_per_dispatch > 1:
+            import warnings
+            warnings.warn(
+                "DirectionEngine builds one fused step graph; "
+                "split_step/steps_per_dispatch are ignored on the "
+                "prompt-sweep path (use find_direction() if you need them "
+                "to bound compile size or batch dispatches)", stacklevel=2)
         self.id_feats, self.clip_feats = precompute_original_features(
             gen_params, gen_cfg, self.styles_array, self.bundles,
             arcface_params, fdc)

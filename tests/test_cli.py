@@ -260,3 +260,30 @@ def test_warp_images_cli(tmp_path, monkeypatch):
     frac_diff = np.mean(
         np.abs(warp_panel.astype(int) - left.astype(int)).max(-1) > 8)
     assert frac_diff > 0.2, f"warp panel barely differs ({frac_diff:.3f})"
+
+
+def test_find_direction_arg_validation(tmp_path):
+    """The zoo/landmarks flag combinations that used to crash deep inside
+    the run (IsADirectoryError / bare AssertionError) must fail fast as
+    UsageErrors before any model loads."""
+    from stylemc_tpu.cli.find_direction import main as fd
+
+    runner = CliRunner()
+    base = ["--network", "x.pkl", "--s_input", "s.npz",
+            "--outdir", str(tmp_path), "--text_prompt", "a face"]
+
+    r = runner.invoke(fd, base + ["--text_prompts", "a|b",
+                                  "--landmarks_grad"])
+    assert r.exit_code != 0
+    assert "--landmarks_grad is not supported with --text_prompts" in r.output
+
+    resume_dir = tmp_path / "zoo"
+    resume_dir.mkdir()
+    r = runner.invoke(fd, base + ["--resume", str(resume_dir)])
+    assert r.exit_code != 0
+    assert "requires --text_prompts --batch_prompts" in r.output
+
+    r = runner.invoke(fd, base + ["--text_prompts", "a|b",
+                                  "--resume", str(resume_dir)])
+    assert r.exit_code != 0
+    assert "requires --text_prompts --batch_prompts" in r.output

@@ -585,3 +585,34 @@ def test_latent_mapper_landmarks_in_graph(setup):
                                    tokenizer=FallbackTokenizer(),
                                    landmarker=landmarker)
     assert np.isfinite(info["history"]).all()
+
+
+def test_jit_graph_caches_reused_across_calls(setup):
+    """Repeat find_direction calls with identical configs must reuse both
+    the precompute forward graphs and the fused step graphs (no retrace:
+    the retrace costs tens of seconds at real sizes)."""
+    import importlib
+    fd = importlib.import_module("stylemc_tpu.train.find_direction")
+
+    gen_cfg, gen_params, clip_models, arcface, styles = setup
+    fdc = _fdc(clip_type="small")
+
+    render1 = fd._render_graph(gen_cfg, until_k_for_resolution(32), "const")
+    render2 = fd._render_graph(gen_cfg, until_k_for_resolution(32), "const")
+    assert render1 is render2
+    cfg_small = clip_models["ViT-B/32"][0]
+    clip1 = fd._clip_feats_graph(cfg_small, "default", "float32")
+    clip2 = fd._clip_feats_graph(cfg_small, "default", "float32")
+    assert clip1 is clip2
+
+    bundles = fd.make_clip_bundles(fdc, clip_models,
+                                   tokenizer=FallbackTokenizer())
+    g1 = fd._fused_step_graphs(gen_cfg, fdc, bundles, False)
+    g2 = fd._fused_step_graphs(gen_cfg, fdc, bundles, False)
+    assert g1 is g2
+
+    d1, _ = find_direction(gen_params, gen_cfg, styles[:4], clip_models,
+                           arcface, fdc, tokenizer=FallbackTokenizer())
+    d2, _ = find_direction(gen_params, gen_cfg, styles[:4], clip_models,
+                           arcface, fdc, tokenizer=FallbackTokenizer())
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))

@@ -152,3 +152,24 @@ def test_upsample_pallas_multitile_gradient():
     gp = np.asarray(jax.grad(loss_p)(x))
     gx = np.asarray(jax.grad(loss_x)(x))
     np.testing.assert_allclose(gp, gx, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_rejects_non_tile_multiple_heights():
+    # h=136 passes h % 8 == 0 but is not a _ROW_TILE multiple: the row-tiled
+    # grid would floor-divide and silently drop output rows 256..271. The
+    # wrappers must fall back to XLA (and so still be exact).
+    f = setup_filter([1, 3, 3, 1])
+    x = jnp.asarray(np.random.RandomState(8).randn(1, 1, 136, 128)
+                    .astype(np.float32))
+    want = np.asarray(upsample2d(x, f))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(upsample2d_pallas(x, f, force=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    y = jnp.asarray(np.random.RandomState(9).randn(1, 1, 272, 256)
+                    .astype(np.float32))
+    want_d = np.asarray(downsample2d(y, f))
+    with pltpu.force_tpu_interpret_mode():
+        got_d = np.asarray(downsample2d_pallas(y, f, force=True))
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-5, atol=1e-6)

@@ -198,6 +198,10 @@ def test_invert_edit_images(tmp_path):
     np.testing.assert_allclose(np.asarray(s_srv), np.asarray(s_ref),
                                rtol=1e-4, atol=1e-4)
 
+    # warmup must pre-compile the invert path too (the first POST
+    # /edit_image otherwise pays the encoder trace+compile in-request)
+    editor.warmup()
+
     out = editor.edit_images(imgs, change_power=2.0, pairs=True)
     assert out.shape == (3, 32, 64, 3) and out.dtype == np.uint8
     left, right = out[:, :, :32].astype(int), out[:, :, 32:].astype(int)
