@@ -79,6 +79,7 @@ def test_find_direction_data_parallel_matches_single(setup):
                                rtol=5e-2, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_find_direction_nada_loss_type(setup):
     gen_cfg, gen_params, clip_models, arcface, styles = setup
     direction, info = find_direction(

@@ -217,6 +217,7 @@ def test_until_k_resolution_dict():
     assert cfg.block_resolutions[6] == 256
 
 
+@pytest.mark.slow
 def test_bf16_synthesis(small_gen):
     cfg_bf16 = GeneratorConfig(img_resolution=64, channel_base=4096,
                                channel_max=128, low_precision_dtype="bfloat16")
@@ -252,6 +253,7 @@ def test_discriminator_forward_and_grad():
     assert y.shape == (4, 4, 32, 32)
 
 
+@pytest.mark.slow
 def test_second_order_gradients_through_resample():
     # JAX-native replacement for the reference's conv2d_gradfix shims
     # (torch_utils/ops/conv2d_gradfix.py): double-backward must work through
@@ -274,6 +276,7 @@ def test_second_order_gradients_through_resample():
     assert np.abs(np.asarray(gg)).max() > 0
 
 
+@pytest.mark.slow
 def test_remat_matches_non_remat():
     # jax.checkpoint blocks: identical forward AND gradients, lower peak HBM.
     # Tiny 32px config: the remat equivalence property is shape-independent
@@ -296,6 +299,7 @@ def test_remat_matches_non_remat():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_up_conv_impl_cfg_equivalence():
     """cfg.up_conv_impl selects algebraically identical fused up-conv forms
     (pad_dilate vs polyphase); synthesis output must match to fp32 rounding,

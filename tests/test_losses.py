@@ -40,6 +40,7 @@ def test_arcface_embedding(arcface):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_arcface_torch_roundtrip(arcface):
     # Export to torch state_dict namespace and reimport.
     state = {}

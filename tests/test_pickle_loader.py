@@ -296,6 +296,7 @@ def test_real_torch_tensors_still_load(tmp_path):
 # ------------------------------------------------------------------ export
 
 
+@pytest.mark.slow
 def test_rosinality_pt_export_roundtrip(tmp_path):
     """save_rosinality_pt → load_generator(.pt): params and synthesis match
     (the export direction of io/rosinality.py's name map)."""

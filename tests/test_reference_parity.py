@@ -405,6 +405,7 @@ REF_MTCNN_WEIGHTS = os.path.join(REF, "MTCNN", "weights")
 
 @pytest.mark.skipif(not os.path.isdir(REF_MTCNN_WEIGHTS),
                     reason="MTCNN weights unavailable")
+@pytest.mark.slow
 def test_mtcnn_nets_vs_torch_real_weights():
     """P/R/O-Net outputs with the REAL bundled weights must match the
     reference torch modules (get_nets.py loads 'MTCNN/weights/*.npy'

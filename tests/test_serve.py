@@ -211,6 +211,7 @@ def test_invert_edit_images(tmp_path):
     np.testing.assert_array_equal(out0[:, :, :32], out0[:, :, 32:])
 
 
+@pytest.mark.slow
 def test_attach_inverter_resolution_mismatch(tmp_path):
     from fabricate import fabricate_e4e_pt
     from stylemc_tpu.models.e4e.psp import load_psp_from_checkpoint

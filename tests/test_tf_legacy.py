@@ -220,6 +220,7 @@ def test_tf_generator_output_matches(tf_pkl):
                                rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_tf_discriminator_roundtrip(tf_pkl):
     _, _, d_params, path = tf_pkl
     data = load_network_pkl(path)

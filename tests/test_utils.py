@@ -26,6 +26,7 @@ from stylemc_tpu.utils.misc import num_range, assert_shape, unravel_index
 from stylemc_tpu.parallel import stats
 
 
+@pytest.mark.slow
 def test_native_format_roundtrip(tmp_path):
     cfg = GeneratorConfig(img_resolution=16, channel_base=512, channel_max=32,
                           mapping_layers=2)
