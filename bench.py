@@ -233,8 +233,13 @@ def bench_find_direction(cfg, params, weights_tag):
         make_loss_fn, precompute_original_features,
     )
 
+    # steps_per_dispatch=10: lax.scan batches 10 steps per dispatch —
+    # numerics identical to the unrolled loop
+    # (test_find_direction_steps_per_dispatch_matches_unrolled); with the
+    # step retrace gone the per-step link latency dominates the warm loop,
+    # and K=10 measured 8.95 -> 5.63 s (67.8 -> 42.7 ms/step) on-chip.
     fdc = FindDirectionConfig(resolution=256, batch_size=4, n_epochs=4,
-                              clip_type="double")
+                              clip_type="double", steps_per_dispatch=10)
     # init on host CPU; jit/device_put moves everything onto the chip
     with jax.default_device(_cpu()):
         clip_models = {
@@ -324,6 +329,7 @@ def bench_find_direction(cfg, params, weights_tag):
         "steps": steps,
         "total_incl_precompute_sec": round(total, 2),
         "weights": weights_tag,
+        "steps_per_dispatch": fdc.steps_per_dispatch,
     }
     # steady-state step time excludes the one-time per-call cost (tracing +
     # compile-cache load of the step graph) folded into the wall-clock;
@@ -336,6 +342,31 @@ def bench_find_direction(cfg, params, weights_tag):
         out["contention_probe_ms"] = round(probe, 1)
     if mfu is not None:
         out["mfu_vs_bf16_peak"] = round(mfu, 4)
+
+    # reference-parity precision variant: the reference loads CLIP in fp16
+    # (clip.load on CUDA); bf16 perception towers are the TPU analogue
+    # (--perception_bf16, direction cosine 0.998 vs fp32 — PARITY.md).
+    try:
+        import dataclasses as _dc
+        fdc_bf16 = _dc.replace(fdc, perception_dtype="bfloat16")
+
+        def run_bf16():
+            t0 = time.perf_counter()
+            d, i = find_direction(params, cfg, np.asarray(styles),
+                                  clip_models, arcface, fdc_bf16,
+                                  tokenizer=tokenizer)
+            jax.block_until_ready(d)
+            return time.perf_counter() - t0, i
+
+        run_bf16()                                 # compile
+        if _PROBE:
+            _wait_clean()
+        _, info_bf16 = run_bf16()
+        out["bf16_perception_sec"] = round(info_bf16["time"], 2)
+        out["bf16_perception_ms_per_step"] = round(
+            1e3 * info_bf16["time"] / max(info_bf16["iterations"], 1), 1)
+    except Exception as e:  # the fp32 headline stands on its own
+        print(f"# bf16-perception variant unavailable: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 
