@@ -233,13 +233,14 @@ def bench_find_direction(cfg, params, weights_tag):
         make_loss_fn, precompute_original_features,
     )
 
-    # steps_per_dispatch=10: lax.scan batches 10 steps per dispatch —
-    # numerics identical to the unrolled loop
+    # steps_per_dispatch=33: lax.scan batches one epoch of steps per
+    # dispatch — numerics identical to the unrolled loop
     # (test_find_direction_steps_per_dispatch_matches_unrolled); with the
-    # step retrace gone the per-step link latency dominates the warm loop,
-    # and K=10 measured 8.95 -> 5.63 s (67.8 -> 42.7 ms/step) on-chip.
+    # step retrace gone the per-step link latency dominates the warm loop.
+    # On-chip sweep (.bench/k_dispatch_sweep.py): K=1 8.74 s, K=10 5.65,
+    # K=33 5.35 (40.5 ms/step, the knee), K=66/132 flat at 5.35-5.37.
     fdc = FindDirectionConfig(resolution=256, batch_size=4, n_epochs=4,
-                              clip_type="double", steps_per_dispatch=10)
+                              clip_type="double", steps_per_dispatch=33)
     # init on host CPU; jit/device_put moves everything onto the chip
     with jax.default_device(_cpu()):
         clip_models = {
@@ -343,16 +344,21 @@ def bench_find_direction(cfg, params, weights_tag):
     if mfu is not None:
         out["mfu_vs_bf16_peak"] = round(mfu, 4)
 
-    # reference-parity precision variant: the reference loads CLIP in fp16
-    # (clip.load on CUDA); bf16 perception towers are the TPU analogue
-    # (--perception_bf16, direction cosine 0.998 vs fp32 — PARITY.md).
+    # reference-precision variant: the NVIDIA FFHQ pkls bake in
+    # num_fp16_res=4 (top synthesis blocks run fp16 in the reference's
+    # find_direction) and clip.load casts CLIP to half on CUDA — so bf16
+    # upper blocks + bf16 perception is the faithful precision analogue
+    # (--bf16 --perception_bf16; direction cosine 0.998 vs fp32, PARITY.md)
+    # and the fp32 headline above is strictly MORE conservative than the
+    # reference's own numerics.
     try:
         import dataclasses as _dc
         fdc_bf16 = _dc.replace(fdc, perception_dtype="bfloat16")
+        cfg_bf16 = _dc.replace(cfg, low_precision_dtype="bfloat16")
 
         def run_bf16():
             t0 = time.perf_counter()
-            d, i = find_direction(params, cfg, np.asarray(styles),
+            d, i = find_direction(params, cfg_bf16, np.asarray(styles),
                                   clip_models, arcface, fdc_bf16,
                                   tokenizer=tokenizer)
             jax.block_until_ready(d)
@@ -362,11 +368,12 @@ def bench_find_direction(cfg, params, weights_tag):
         if _PROBE:
             _wait_clean()
         _, info_bf16 = run_bf16()
-        out["bf16_perception_sec"] = round(info_bf16["time"], 2)
-        out["bf16_perception_ms_per_step"] = round(
+        out["reference_precision_bf16_sec"] = round(info_bf16["time"], 2)
+        out["reference_precision_bf16_ms_per_step"] = round(
             1e3 * info_bf16["time"] / max(info_bf16["iterations"], 1), 1)
     except Exception as e:  # the fp32 headline stands on its own
-        print(f"# bf16-perception variant unavailable: {e}", file=sys.stderr)
+        print(f"# bf16 reference-precision variant unavailable: {e}",
+              file=sys.stderr)
     print(json.dumps(out))
 
 

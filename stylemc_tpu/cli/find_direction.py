@@ -112,8 +112,8 @@ def _resolve_zoo_resume(resume, prompts):
 @click.option("--steps_per_dispatch", type=int, default=1, show_default=True,
               help="Batch K optimizer steps into one device dispatch "
                    "(lax.scan) — amortizes dispatch latency; same math. "
-                   "10 measured 1.6x faster warm on a tunneled chip "
-                   "(docs/performance.md)")
+                   "33 (one epoch/dispatch) measured 1.6x faster warm on "
+                   "a tunneled chip (docs/performance.md)")
 @click.option("--trace_dir", type=str, default=None,
               help="Capture a jax.profiler trace of the optimization into "
                    "this directory (view in TensorBoard/Perfetto)")
