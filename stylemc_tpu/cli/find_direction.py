@@ -109,11 +109,13 @@ def _resolve_zoo_resume(resume, prompts):
               help="Rematerialize synthesis blocks in the backward pass "
                    "(jax.checkpoint) — fits 1024px / large batches in HBM "
                    "at the cost of one extra forward; identical numerics")
-@click.option("--steps_per_dispatch", type=int, default=1, show_default=True,
+@click.option("--steps_per_dispatch", type=str, default="1",
+              show_default=True,
               help="Batch K optimizer steps into one device dispatch "
                    "(lax.scan) — amortizes dispatch latency; same math. "
-                   "33 (one epoch/dispatch) measured 1.6x faster warm on "
-                   "a tunneled chip (docs/performance.md)")
+                   "'epoch' batches one full epoch per dispatch — the "
+                   "measured knee, 1.6x faster warm on a tunneled chip "
+                   "(docs/performance.md)")
 @click.option("--trace_dir", type=str, default=None,
               help="Capture a jax.profiler trace of the optimization into "
                    "this directory (view in TensorBoard/Perfetto)")
@@ -159,6 +161,12 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
             "--resume as a directory (per-prompt direction_<tag>.npz "
             "lookup) requires --text_prompts --batch_prompts; pass a "
             "single .npz otherwise")
+    if steps_per_dispatch != "epoch":
+        try:
+            steps_per_dispatch = int(steps_per_dispatch)
+        except ValueError:
+            raise click.BadParameter(
+                "--steps_per_dispatch must be an integer or 'epoch'")
 
     print(f'Loading networks from "{network_pkl}"...')
     cfg, params = load_generator(network_pkl)
@@ -180,7 +188,8 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
         clip_type=clip_type, clip_loss_type=clip_loss_type,
         noise_mode=noise_mode, split_step=split_step,
         perception_dtype="bfloat16" if perception_bf16 else "float32",
-        steps_per_dispatch=steps_per_dispatch)
+        steps_per_dispatch=1 if steps_per_dispatch == "epoch"
+        else steps_per_dispatch)
 
     clip_models, tokenizer = load_clip_models(
         fdc.clip_type, allow_random_init=allow_random_init)
@@ -189,6 +198,13 @@ def main(network_pkl, noise_mode, s_input, outdir, text_prompt, text_prompts,
 
     styles_array = np.load(s_input)["s"].astype(np.float32)
     n_items = styles_array.shape[0]
+    if steps_per_dispatch == "epoch":
+        import dataclasses as _dc
+        import math as _math
+        fdc = _dc.replace(
+            fdc, steps_per_dispatch=_math.ceil(n_items / batch_size))
+        print(f"steps_per_dispatch=epoch -> {fdc.steps_per_dispatch} "
+              f"steps per dispatch")
 
     mesh = data_mesh(max_size=batch_size) if data_parallel else None
 

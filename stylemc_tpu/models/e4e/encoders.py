@@ -31,6 +31,20 @@ TAP_C1, TAP_C2, TAP_C3 = 6, 20, 23
 COARSE_IND, MIDDLE_IND = 3, 7
 
 
+def fpn_tap_indices(layout):
+    """FPN tap indices (c1, c2, c3) for a body layout: the last block of
+    each of the final three downsampling stages. A stage starts at every
+    stride-2 block; for the IR-50 layout this reproduces the reference's
+    hardcoded 6/20/23 (psp_encoders.py:100-107). Custom (test-sized)
+    layouts with four stride-2 stages keep the 64/32/16 tap spatials the
+    style heads assume at 256px input."""
+    starts = [i for i, (_, _, s) in enumerate(layout) if s == 2]
+    if len(starts) < 3:
+        raise ValueError("encoder layout needs >= 3 stride-2 stages")
+    ends = [s - 1 for s in starts[1:]] + [len(layout) - 1]
+    return tuple(ends[-3:])
+
+
 def style_count(stylegan_size: int) -> int:
     return 2 * int(math.log2(stylegan_size)) - 2
 
@@ -100,25 +114,29 @@ def gradual_style_block(p, x, spatial: int):
 # ------------------------------------------------------------- body
 
 
-def _encoder_body(p, x):
-    """IR-SE-50 trunk with FPN taps. x: [N,3,256,256] → (c1, c2, c3).
+def _encoder_body(p, x, layout=None):
+    """IR-SE trunk with FPN taps. x: [N,3,256,256] → (c1, c2, c3).
 
     Uniform bottleneck stretches run through lax.scan (arcface.body_runs /
     apply_body_run) — one compiled body per stage instead of 24 inlined
-    blocks. The FPN taps (6/20/23) each fall on a run *boundary*, so the
-    scan grouping never needs to surface an intermediate activation."""
+    blocks. The FPN taps (6/20/23 on the default IR-50 layout) each fall
+    on a run *boundary*, so the scan grouping never needs to surface an
+    intermediate activation. `layout` swaps in a custom body (tests use a
+    4-block one — the full 24-bottleneck fwd+bwd compile is minutes-long
+    on slow hosts)."""
     from ..arcface import apply_body_run, body_runs
 
     x = _conv(x, p["input_conv_weight"], padding=1)
     x = _bn(p["input_bn"], x)
     x = _prelu(p["input_prelu"], x)
-    layout = ir_se_50_layout()
-    taps = {TAP_C1: None, TAP_C2: None, TAP_C3: None}
+    layout = list(layout) if layout is not None else ir_se_50_layout()
+    t1, t2, t3 = fpn_tap_indices(layout)
+    taps = {t1: None, t2: None, t3: None}
     for run in body_runs(layout):
         x = apply_body_run(p["body"], x, run, layout)
         if run[1] - 1 in taps:
             taps[run[1] - 1] = x
-    c1, c2, c3 = taps[TAP_C1], taps[TAP_C2], taps[TAP_C3]
+    c1, c2, c3 = taps[t1], taps[t2], taps[t3]
     assert c1 is not None and c2 is not None and c3 is not None, \
         "FPN tap indices must land on body_runs boundaries"
     return c1, c2, c3
@@ -161,10 +179,10 @@ def _head_groups(lo, hi):
     return groups
 
 
-def gradual_style_encoder(p, x, stylegan_size: int = 1024):
+def gradual_style_encoder(p, x, stylegan_size: int = 1024, layout=None):
     """GradualStyleEncoder forward (psp_encoders.py:95-121) → [N, S, 512]."""
     n_styles = style_count(stylegan_size)
-    c1, c2, c3 = _encoder_body(p, x)
+    c1, c2, c3 = _encoder_body(p, x, layout)
     p1, p2 = _fpn_features(p, c1, c2, c3)
     chunks = []
     for idxs in _head_groups(0, n_styles):
@@ -176,11 +194,11 @@ def gradual_style_encoder(p, x, stylegan_size: int = 1024):
 
 
 def encoder4editing(p, x, stylegan_size: int = 1024,
-                    progressive_stage: int = 18):
+                    progressive_stage: int = 18, layout=None):
     """Encoder4Editing forward (psp_encoders.py:173-200): w0 broadcast +
     per-layer deltas up to `progressive_stage` (static int; 18=Inference)."""
     n_styles = style_count(stylegan_size)
-    c1, c2, c3 = _encoder_body(p, x)
+    c1, c2, c3 = _encoder_body(p, x, layout)
     w0 = gradual_style_block(p["styles"]["0"], c3, 16)
     w = jnp.repeat(w0[:, None, :], n_styles, axis=1)
 
@@ -205,10 +223,10 @@ def encoder4editing(p, x, stylegan_size: int = 1024,
     return w
 
 
-def backbone_encoder_into_w(p, x, stylegan_size: int = 1024):
+def backbone_encoder_into_w(p, x, stylegan_size: int = 1024, layout=None):
     """SingleStyleCodeEncoder (psp_encoders.py:229-235)."""
     n_styles = style_count(stylegan_size)
-    c1, c2, c3 = _encoder_body(p, x)
+    c1, c2, c3 = _encoder_body(p, x, layout)
     pooled = jnp.mean(c3, axis=(2, 3))
     w = equal_linear(p["linear"], pooled)
     return jnp.repeat(w[:, None, :], n_styles, axis=1)
@@ -218,11 +236,16 @@ def backbone_encoder_into_w(p, x, stylegan_size: int = 1024):
 
 
 def init_encoder_params(key, stylegan_size: int = 1024,
-                        encoder_type: str = "Encoder4Editing") -> Dict[str, Any]:
+                        encoder_type: str = "Encoder4Editing",
+                        layout=None) -> Dict[str, Any]:
     from ..arcface import init_backbone_params
 
     n_styles = style_count(stylegan_size)
-    base = init_backbone_params(key, input_size=112)
+    base = init_backbone_params(key, input_size=112, layout=layout)
+    lay = list(layout) if layout is not None else ir_se_50_layout()
+    t1, t2, t3 = fpn_tap_indices(lay)
+    # tap channel widths (IR-50: 128/256/512); heads and laterals follow c3
+    c1_ch, c2_ch, c3_ch = lay[t1][1], lay[t2][1], lay[t3][1]
     params = {
         "input_conv_weight": base["input_conv_weight"],
         "input_bn": base["input_bn"],
@@ -240,7 +263,8 @@ def init_encoder_params(key, stylegan_size: int = 1024,
                 "bias": jnp.zeros((cout,))}
 
     if encoder_type == "SingleStyleCodeEncoder":
-        params["linear"] = {"weight": jax.random.normal(next(ks), (512, 512)),
+        params["linear"] = {"weight": jax.random.normal(next(ks),
+                                                        (512, c3_ch)),
                             "bias": jnp.zeros((512,))}
         return params
 
@@ -249,13 +273,14 @@ def init_encoder_params(key, stylegan_size: int = 1024,
         spatial = _head_spatial(i)
         head = {}
         for j in range(int(np.log2(spatial))):
-            head[f"conv{j}"] = conv_init(512, 512, 3)
-        head["linear"] = {"weight": jax.random.normal(next(ks), (512, 512)),
+            head[f"conv{j}"] = conv_init(c3_ch, c3_ch, 3)
+        head["linear"] = {"weight": jax.random.normal(next(ks),
+                                                      (512, c3_ch)),
                           "bias": jnp.zeros((512,))}
         styles[f"{i}"] = head
     params["styles"] = styles
-    params["latlayer1"] = conv_init(256, 512, 1)
-    params["latlayer2"] = conv_init(128, 512, 1)
+    params["latlayer1"] = conv_init(c2_ch, c3_ch, 1)
+    params["latlayer2"] = conv_init(c1_ch, c3_ch, 1)
     return params
 
 

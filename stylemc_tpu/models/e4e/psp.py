@@ -25,6 +25,9 @@ class PSPConfig:
     stylegan_size: int = 1024
     encoder_type: str = "Encoder4Editing"
     start_from_latent_avg: bool = True
+    # custom encoder body layout [(in_c, depth, stride), ...]; None = the
+    # reference IR-SE-50 (tests use a 4-block body — see encoders.py)
+    encoder_layout: Optional[Any] = None
 
 
 @dataclasses.dataclass
@@ -39,13 +42,16 @@ class PSP:
         """x: [N,3,256,256] normalized to [-1,1] → W+ codes [N, S, 512]."""
         if self.cfg.encoder_type == "Encoder4Editing":
             codes = encoder4editing(self.encoder_params, x,
-                                    self.cfg.stylegan_size, progressive_stage)
+                                    self.cfg.stylegan_size, progressive_stage,
+                                    layout=self.cfg.encoder_layout)
         elif self.cfg.encoder_type == "GradualStyleEncoder":
             codes = gradual_style_encoder(self.encoder_params, x,
-                                          self.cfg.stylegan_size)
+                                          self.cfg.stylegan_size,
+                                          layout=self.cfg.encoder_layout)
         elif self.cfg.encoder_type == "SingleStyleCodeEncoder":
             codes = backbone_encoder_into_w(self.encoder_params, x,
-                                            self.cfg.stylegan_size)
+                                            self.cfg.stylegan_size,
+                                            layout=self.cfg.encoder_layout)
         else:
             raise ValueError(self.cfg.encoder_type)
         if self.cfg.start_from_latent_avg and self.latent_avg is not None:

@@ -345,10 +345,12 @@ class Coach:
         def _encode(enc_params, x):
             if cfg.encoder_type == "Encoder4Editing":
                 return encoder4editing(enc_params, x, cfg.stylegan_size,
-                                       stage)
+                                       stage, layout=cfg.encoder_layout)
             if cfg.encoder_type == "GradualStyleEncoder":
-                return gradual_style_encoder(enc_params, x, cfg.stylegan_size)
-            return backbone_encoder_into_w(enc_params, x, cfg.stylegan_size)
+                return gradual_style_encoder(enc_params, x, cfg.stylegan_size,
+                                             layout=cfg.encoder_layout)
+            return backbone_encoder_into_w(enc_params, x, cfg.stylegan_size,
+                                           layout=cfg.encoder_layout)
 
         def _sample_fn(dec_params, enc_params, latent_avg, z, x):
             real_w = gen_mapping(dec_params, dec_cfg, z)[:, 0, :]

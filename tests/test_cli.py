@@ -287,3 +287,7 @@ def test_find_direction_arg_validation(tmp_path):
                                   "--resume", str(resume_dir)])
     assert r.exit_code != 0
     assert "requires --text_prompts --batch_prompts" in r.output
+
+    r = runner.invoke(fd, base + ["--steps_per_dispatch", "fast"])
+    assert r.exit_code != 0
+    assert "must be an integer or 'epoch'" in r.output

@@ -25,7 +25,7 @@ from stylemc_tpu.models.stylegan2.generator import (
     GeneratorConfig, init_generator_params,
 )
 from stylemc_tpu.train.coach import Coach, CoachOptions
-from tiny import tiny_arcface, TINY_ARCFACE_LAYOUT
+from tiny import tiny_arcface, TINY_ARCFACE_LAYOUT, TINY_E4E_LAYOUT
 
 
 # ----------------------------------------------------------------- ranger
@@ -169,8 +169,11 @@ def tiny_coach():
                               channel_max=32, mapping_layers=2,
                               conv_clamp=None)
     gen_params = init_generator_params(jax.random.PRNGKey(0), gen_cfg)
-    enc_params = init_encoder_params(jax.random.PRNGKey(1), stylegan_size=256)
-    psp = PSP(cfg=PSPConfig(stylegan_size=256), encoder_params=enc_params,
+    enc_params = init_encoder_params(jax.random.PRNGKey(1), stylegan_size=256,
+                                     layout=TINY_E4E_LAYOUT)
+    psp = PSP(cfg=PSPConfig(stylegan_size=256,
+                            encoder_layout=TINY_E4E_LAYOUT),
+              encoder_params=enc_params,
               decoder_cfg=gen_cfg, decoder_params=gen_params,
               latent_avg=jnp.zeros((14, 512)))
     perception = {"lpips": init_lpips_params(jax.random.PRNGKey(2), "alex"),
@@ -284,8 +287,11 @@ def _mesh_coach(mesh=None):
                               channel_max=32, mapping_layers=2,
                               conv_clamp=None)
     gen_params = init_generator_params(jax.random.PRNGKey(0), gen_cfg)
-    enc_params = init_encoder_params(jax.random.PRNGKey(1), stylegan_size=256)
-    psp = PSP(cfg=PSPConfig(stylegan_size=256), encoder_params=enc_params,
+    enc_params = init_encoder_params(jax.random.PRNGKey(1), stylegan_size=256,
+                                     layout=TINY_E4E_LAYOUT)
+    psp = PSP(cfg=PSPConfig(stylegan_size=256,
+                            encoder_layout=TINY_E4E_LAYOUT),
+              encoder_params=enc_params,
               decoder_cfg=gen_cfg, decoder_params=gen_params,
               latent_avg=jnp.zeros((14, 512)))
     perception = {"lpips": init_lpips_params(jax.random.PRNGKey(2), "alex"),

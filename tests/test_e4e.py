@@ -27,6 +27,45 @@ def test_style_count():
     assert style_count(256) == 14
 
 
+def test_fpn_tap_indices_default_matches_reference():
+    """The generic stage-end computation must reproduce the reference's
+    hardcoded IR-50 taps 6/20/23 (psp_encoders.py:100-107)."""
+    from stylemc_tpu.models.e4e.encoders import fpn_tap_indices
+    from stylemc_tpu.models.arcface import ir_se_50_layout
+
+    assert fpn_tap_indices(ir_se_50_layout()) == (6, 20, 23)
+    with pytest.raises(ValueError):
+        fpn_tap_indices([(8, 8, 2), (8, 8, 1)])
+
+
+def test_tiny_layout_encoders():
+    """A custom 4-block body (the CPU test layout) produces well-shaped
+    W+ codes from all three encoder types and carries gradients."""
+    from tiny import TINY_E4E_LAYOUT
+
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(2, 3, 256, 256).astype(np.float32))
+    for enc_type, fn in (
+            ("Encoder4Editing", encoder4editing),
+            ("GradualStyleEncoder", gradual_style_encoder),
+            ("SingleStyleCodeEncoder", backbone_encoder_into_w)):
+        p = init_encoder_params(jax.random.PRNGKey(0), stylegan_size=256,
+                                encoder_type=enc_type,
+                                layout=TINY_E4E_LAYOUT)
+        codes = fn(p, x, 256, layout=TINY_E4E_LAYOUT) \
+            if enc_type != "Encoder4Editing" \
+            else fn(p, x, 256, 18, layout=TINY_E4E_LAYOUT)
+        assert codes.shape == (2, 14, 512)
+        assert np.isfinite(np.asarray(codes)).all()
+
+    p = init_encoder_params(jax.random.PRNGKey(0), stylegan_size=256,
+                            layout=TINY_E4E_LAYOUT)
+    g = jax.grad(lambda pp: jnp.sum(encoder4editing(
+        pp, x[:1], 256, 18, layout=TINY_E4E_LAYOUT) ** 2))(p)
+    # gradient flows to the body stem
+    assert float(jnp.abs(g["input_conv_weight"]).max()) > 0
+
+
 def test_equal_linear_matches_formula():
     p = {"weight": jnp.asarray(np.random.RandomState(0).randn(8, 4),
                                jnp.float32),

@@ -87,9 +87,12 @@ def test_full_pipeline_from_files(pipeline_dir, pkl_path):
                        "--resolution", str(RES), "--batch_size", "2",
                        "--n_epochs", "1", "--clip_type", "small",
                        "--allow_random_init", "--no-data_parallel",
+                       "--steps_per_dispatch", "epoch",
                        "--trace_dir", trace_dir],
                       catch_exceptions=False)
     assert r.exit_code == 0, r.output
+    # 'epoch' resolved to ceil(4 seeds / batch 2) = 2 steps per dispatch
+    assert "steps_per_dispatch=epoch -> 2" in r.output
     # --trace_dir captured a jax.profiler trace of the optimization
     assert any(f for _, _, fs in os.walk(trace_dir) for f in fs), trace_dir
     dir_file = os.path.join(outdir,

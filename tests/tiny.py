@@ -11,6 +11,11 @@ from stylemc_tpu.models.arcface import init_backbone_params
 TINY_ARCFACE_LAYOUT = [(8, 8, 2), (8, 16, 2), (16, 16, 1), (16, 32, 2),
                        (32, 32, 2)]
 
+# 4-block e4e encoder body: four stride-2 stages like IR-50, so the FPN
+# tap spatials (64/32/16 at 256px input) the style heads assume are kept;
+# the full 24-bottleneck fwd+bwd compile is minutes-long on slow hosts.
+TINY_E4E_LAYOUT = [(16, 16, 2), (16, 32, 2), (32, 48, 2), (48, 64, 2)]
+
 
 def tiny_gen(resolution=32):
     cfg = GeneratorConfig(img_resolution=resolution, channel_base=2048,
