@@ -425,7 +425,11 @@ def main():
         BATCH, WARMUP, ITERS = 8, 1, 3
         _PROBE_BUDGET_S[0] = 0.0
     cfg, params, weights_tag = _get_network()
-    bench_synthesis(cfg, params, weights_tag)
+    try:
+        bench_synthesis(cfg, params, weights_tag)
+    except Exception as e:
+        print(f"# synthesis bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     if _CPU_FALLBACK_NOTE is not None:
         # serving/find_direction at TPU scale are meaningless on CPU, but
         # the north-star metric must still be the LAST JSON line (the
@@ -442,9 +446,29 @@ def main():
         }))
         return
     if os.environ.get("STYLEMC_BENCH_SERVE", "1") != "0":
-        bench_serving(cfg, params, weights_tag)
-    # north-star metric last: a last-JSON-line parser records this one
-    bench_find_direction(cfg, params, weights_tag)
+        try:
+            bench_serving(cfg, params, weights_tag)
+        except Exception as e:
+            print(f"# serving bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    # North-star metric last: a last-JSON-line parser records this one.
+    # A phase failure (the shared compile service has documented bad
+    # phases — docs/performance.md) must never leave a different metric
+    # as the last JSON line, so emit an explicitly-failed north-star
+    # record instead of dying mid-run.
+    try:
+        bench_find_direction(cfg, params, weights_tag)
+    except Exception as e:
+        print(f"# find_direction bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": "find_direction_129seed_wall_clock",
+            "value": None,
+            "unit": "seconds (warm, 129 seeds, batch 4, 256px, 4 epochs)",
+            "vs_baseline": None,
+            "failed": f"{type(e).__name__}: {e}",
+            "weights": weights_tag,
+        }))
 
 
 if __name__ == "__main__":
