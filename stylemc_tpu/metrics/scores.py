@@ -13,6 +13,7 @@ Behavioral contracts:
 
 from __future__ import annotations
 
+import warnings
 from typing import Tuple
 
 import numpy as np
@@ -21,7 +22,16 @@ import scipy.linalg
 
 def fid_from_stats(mu_gen, sigma_gen, mu_real, sigma_real) -> float:
     m = np.square(mu_gen - mu_real).sum()
-    s = scipy.linalg.sqrtm(np.dot(sigma_gen, sigma_real))
+    # When num_gen < feature_dim the covariance product is singular and
+    # scipy emits LinAlgWarning(RuntimeWarning) from sqrtm — inherent to
+    # small-sample FID, not a numerics defect (the reference runs sqrtm
+    # with disp=False and ignores the error estimate entirely,
+    # frechet_inception_distance.py:35). Suppress exactly that warning at
+    # the source so warnings-as-errors suites keep real NaN warnings
+    # fatal; non-finite results still propagate to the caller's checks.
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", scipy.linalg.LinAlgWarning)
+        s = scipy.linalg.sqrtm(np.dot(sigma_gen, sigma_real))
     dist = m + np.trace(sigma_gen + sigma_real - s * 2)
     return float(np.real(dist))
 
@@ -48,6 +58,11 @@ def inception_score_from_probs(probs: np.ndarray,
     """probs: softmax outputs [N, 1008/1000]."""
     scores = []
     num_gen = probs.shape[0]
+    # fewer samples than splits would make some split slices empty and
+    # np.mean over them NaN (the round-2 "Mean of empty slice" warning);
+    # the reference contract (inception_score.py:31-36) assumes
+    # N >> num_splits, so clamp for tiny runs
+    num_splits = max(1, min(num_splits, num_gen))
     for i in range(num_splits):
         part = probs[i * num_gen // num_splits:(i + 1) * num_gen // num_splits]
         kl = part * (np.log(part + 1e-12) -

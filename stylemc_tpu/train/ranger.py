@@ -45,8 +45,14 @@ def lookahead(k: int = 6, alpha: float = 0.5) -> optax.GradientTransformation:
     incoming `updates` to already be final parameter deltas (post -lr)."""
 
     def init_fn(params):
-        return LookaheadState(slow=jax.tree_util.tree_map(jnp.asarray, params),
-                              count=jnp.zeros((), jnp.int32))
+        # copy=True: the slow weights must own distinct buffers — with
+        # jnp.asarray they alias the live params, and a training step that
+        # donates BOTH (params, opt_state) then donates the same buffer
+        # twice (XLA aborts: "Attempt to donate the same buffer twice")
+        return LookaheadState(
+            slow=jax.tree_util.tree_map(
+                lambda p: jnp.array(p, copy=True), params),
+            count=jnp.zeros((), jnp.int32))
 
     def update_fn(updates, state, params):
         assert params is not None, "lookahead requires params"

@@ -329,3 +329,24 @@ def test_coach_mesh_data_parallel_matches_single():
         for k in d1:
             np.testing.assert_allclose(d2[k], d1[k], rtol=2e-3, atol=2e-4,
                                        err_msg=k)
+
+
+def test_lookahead_slow_weights_own_their_buffers():
+    """The slow-weight copy must NOT alias the live params: a train step
+    that donates both (params, opt_state) would otherwise donate the same
+    buffer twice — XLA aborts the process ("Attempt to donate the same
+    buffer twice in Execute()"; found via the donated 1024px Coach step)."""
+    params = {"w": jnp.ones((8, 8))}
+    la = lookahead(k=2, alpha=0.5)
+    state = la.init(params)
+    assert state.slow["w"].unsafe_buffer_pointer() != \
+        params["w"].unsafe_buffer_pointer()
+
+    # the full ranger chain (what Coach actually donates) must also hold
+    opt = ranger(1e-3)
+    st = opt.init(params)
+    ptrs = {l.unsafe_buffer_pointer()
+            for l in jax.tree_util.tree_leaves(params)}
+    for leaf in jax.tree_util.tree_leaves(st):
+        if hasattr(leaf, "unsafe_buffer_pointer"):
+            assert leaf.unsafe_buffer_pointer() not in ptrs

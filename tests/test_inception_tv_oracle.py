@@ -239,3 +239,46 @@ def test_resize_matrix_matches_torch_bilinear():
     got = np.einsum("oh,nchw->ncow", ky, x)
     got = np.einsum("ow,nchw->ncho", kx, got)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_fid2015_weight_file_roundtrip(tmp_path):
+    """The exact import path the docs promise for reference-comparable
+    FIDs (cli/calc_metrics.py docstring; reference detector URL at
+    metric_utils.py:22): a pytorch-fid pt_inception-2015-12-05 layout
+    checkpoint — torchvision inception_v3 names, 1008-way fc, no aux
+    head — saved as a real .pth file, loaded via io.load_state_dict_numpy
+    → params_from_torch_state, and run with variant="fid2015".
+
+    Fabricated weights (no egress in this image): the user-supplied file
+    is pt_inception-2015-12-05-6726825d.pth from
+    github.com/mseitzer/pytorch-fid; it carries the identical key set and
+    shapes fabricated here, so this test proves the full file→features
+    plumbing that file will traverse.
+    """
+    from stylemc_tpu.io import load_state_dict_numpy
+
+    m = _randomized(seed=3)
+    # pytorch-fid layout: 1008-way logits head (Inception-2015 classes)
+    m.fc = nn.Linear(2048, 1008)
+    torch.manual_seed(4)
+    with torch.no_grad():
+        m.fc.weight.mul_(0.05)
+        m.fc.bias.zero_()
+    path = tmp_path / "pt_inception-2015-12-05-fabricated.pth"
+    torch.save(m.state_dict(), str(path))
+
+    state = load_state_dict_numpy(str(path))
+    params = params_from_torch_state(state)
+    assert params["fc"]["weight"].shape == (1008, 2048)
+
+    imgs = np.random.RandomState(5).randint(0, 255, (2, 299, 299, 3),
+                                            np.uint8)
+    feats = np.asarray(inception_features(params, jnp.asarray(imgs),
+                                          variant="fid2015"))
+    assert feats.shape == (2, 2048) and np.isfinite(feats).all()
+    probs = np.asarray(inception_features(params, jnp.asarray(imgs),
+                                          return_logits=True,
+                                          variant="fid2015"))
+    assert probs.shape == (2, 1008)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)

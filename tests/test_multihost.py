@@ -1,20 +1,34 @@
-"""Multi-host code paths (VERDICT item 6).
+"""Multi-host code paths — REAL multi-process validation.
 
-Single-process validation of the multihost plumbing:
-  * FeatureStats.append_multihost — no-op gather under one process; the
-    process_allgather branch exercised via a patched process_count
-  * stats.Collector(cross_process=True) — allgather-sum reduces to the
-    local moments under one process
-  * reduce_moments — psum under shard_map equals the sum of per-device
-    moments (the one-collective contract of training_stats._sync,
-    reference training_stats.py:234-256)
+`test_two_process_distributed` launches two actual subprocesses that join
+a jax.distributed coordination service on 127.0.0.1 (4 virtual CPU
+devices each → one 8-device GLOBAL mesh, gloo cross-process collectives)
+and validates, with no mocks:
 
-What real multi-host validation would additionally need: N processes
-launched with jax.distributed.initialize (parallel/mesh.py
-::initialize_distributed) over DCN, where process_allgather crosses host
-boundaries — unavailable in this single-host image; the collective
-semantics are identical, which is what the shard_map test pins down.
+  a) a DP find_direction training step sharded over the global mesh
+     equals the single-device full-batch step,
+  b) FeatureStats.append_multihost with a real cross-process
+     process_allgather,
+  c) stats.Collector(cross_process=True) reducing disjoint per-process
+     reports to the global moments,
+
+superseding the round-2 monkeypatched simulations. Two local processes
+with jax.distributed.initialize form a legitimate multi-process JAX
+runtime on one machine — the collective semantics over gloo here and over
+DCN/ICI on a real pod are identical. Reference contracts:
+metrics/metric_utils.py:95-105 (rank-strided feature gather) and
+torch_utils/training_stats.py:234-256 (one-collective stat sync).
+
+The single-process tests below pin the degenerate-case semantics
+(append_multihost == append under one process; report0 gating; the psum
+moment-reduction contract under shard_map).
 """
+
+import json
+import os
+import socket
+import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -27,6 +41,62 @@ from jax import shard_map
 from stylemc_tpu.metrics.feature_stats import FeatureStats
 from stylemc_tpu.parallel import stats as pstats
 from stylemc_tpu.parallel.mesh import initialize_distributed
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed(tmp_path):
+    """Two real processes, one 8-device global mesh, zero mocks."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(_HERE), env.get("PYTHONPATH", "")])
+    worker = os.path.join(_HERE, "multiprocess_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, \
+            f"worker {i} rc={p.returncode}\n{out[-4000:]}"
+    for i in range(2):
+        with open(tmp_path / f"result_{i}.json") as f:
+            res = json.load(f)
+        assert res["ok"], res
+        assert res["n_global"] == 8 and res["n_local"] == 4, res
+        assert res["process_index"] == i, res
+        assert res["dp_step_matches_single_device"], res
+        assert res["append_multihost_real_allgather"], res
+        assert res["collector_cross_process_real"], res
+    # the replicated DP outputs must agree EXACTLY across processes —
+    # both hold the same collective's result
+    with open(tmp_path / "result_0.json") as f0, \
+            open(tmp_path / "result_1.json") as f1:
+        r0, r1 = json.load(f0), json.load(f1)
+    np.testing.assert_allclose(r0["dp_loss"], r1["dp_loss"], rtol=1e-7)
+    np.testing.assert_allclose(r0["dp_delta_norm"], r1["dp_delta_norm"],
+                               rtol=1e-12)
+    np.testing.assert_allclose(r0["dp_delta_checksum"],
+                               r1["dp_delta_checksum"], rtol=1e-12)
 
 
 def test_append_multihost_single_process_matches_append():
@@ -43,47 +113,6 @@ def test_append_multihost_single_process_matches_append():
     mb, cb = b.get_mean_cov()
     np.testing.assert_allclose(mb, ma)
     np.testing.assert_allclose(cb, ca)
-
-
-def test_append_multihost_allgather_branch(monkeypatch):
-    """Exercise OUR gather-reshape wiring with a simulated 2-process
-    allgather (stacked copies, the shape process_allgather returns): the
-    appended features must be the row-concatenation of all processes'."""
-    from jax.experimental import multihost_utils
-
-    rng = np.random.RandomState(1)
-    x = rng.randn(3, 5).astype(np.float32)
-
-    monkeypatch.setattr(jax, "process_count", lambda: 2)
-    monkeypatch.setattr(multihost_utils, "process_allgather",
-                        lambda v, **kw: jnp.stack([jnp.asarray(v)] * 2))
-    s = FeatureStats(capture_all=True)
-    s.append_multihost(x)
-    np.testing.assert_allclose(s.get_all(), np.concatenate([x, x]),
-                               rtol=1e-6)
-
-
-def test_collector_cross_process_single_matches_local(monkeypatch):
-    """Simulated 2-process sync: moments double in count but mean/std stay
-    (every 'process' reported the same values) — the training_stats._sync
-    semantics."""
-    from jax.experimental import multihost_utils
-
-    pstats._counters.clear()
-    rng = np.random.RandomState(2)
-    vals = rng.randn(20).astype(np.float32)
-
-    monkeypatch.setattr(jax, "process_count", lambda: 2)
-    monkeypatch.setattr(multihost_utils, "process_allgather",
-                        lambda v, **kw: jnp.stack([jnp.asarray(v)] * 2))
-    c_cross = pstats.Collector(regex="loss")  # init drains (empty) counters
-    for v in vals:
-        pstats.report("loss", v)
-    c_cross.update(cross_process=True)
-
-    assert c_cross.num("loss") == 2 * len(vals)
-    np.testing.assert_allclose(c_cross.mean("loss"), np.mean(vals), rtol=1e-5)
-    np.testing.assert_allclose(c_cross.std("loss"), np.std(vals), rtol=1e-4)
 
 
 def test_reduce_moments_psum_equivalence():
