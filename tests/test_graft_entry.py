@@ -25,4 +25,7 @@ def test_dryrun_multichip_8_devices():
 
 
 def test_dryrun_multichip_2_devices():
-    __graft_entry__.dryrun_multichip(2)
+    # fast-suite smoke covers the original three sharding modes; the
+    # coach-DP + mesh-metrics modes (4, 5) compile minutes of extra graphs
+    # and are covered by the slow 8-device test + the driver run
+    __graft_entry__.dryrun_multichip(2, max_mode=3)
