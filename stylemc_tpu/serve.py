@@ -61,7 +61,7 @@ class BatchEditor:
                  mapper_params=None, mapper_neg_slope: float = 0.01,
                  max_batch: int = 64, truncation_psi: float = 0.7,
                  noise_mode: str = "const", precision: str = "fp32",
-                 mesh=None):
+                 mesh=None, pipeline_chunk: int = 16):
         gen_cfg = _apply_precision(gen_cfg, precision)
         # forward-only service → pad_dilate up-convs (61 vs 102 ms/batch64;
         # inference_cfg docstring)
@@ -91,6 +91,14 @@ class BatchEditor:
         self.noise_mode = noise_mode
         self._invert = None  # set by attach_inverter
         self.buckets = [b for b in (1, 2, 4, 8, 16, 32, 64) if b <= max_batch]
+        # Large requests render in pipeline_chunk sub-batches with their
+        # device→host copies started asynchronously: the next chunk's
+        # compute overlaps the previous chunk's uint8 transfer over the
+        # (slow, serializing) host link. Measured batch 64 @256px: p50
+        # 617 → 425 ms (-31%) at chunk 16 (.bench/serve_pipeline_ab.py).
+        # Results are bit-identical — the same per-bucket graphs run on
+        # the same rows. 0 disables chunking.
+        self.pipeline_chunk = pipeline_chunk
 
         def _styles_fn(gp, z):
             return w_to_s(gp, self.cfg,
@@ -247,16 +255,28 @@ class BatchEditor:
         [orig | edited] concatenations; direction_name selects from the
         named registry (default: the constructor direction / mapper)."""
         styles = jnp.asarray(styles, jnp.float32)
-        outs = []
-        for lo in range(0, styles.shape[0], self.buckets[-1]):
-            chunk = styles[lo:lo + self.buckets[-1]]
+        step = self.pipeline_chunk or self.buckets[-1]
+        step = min(step, self.buckets[-1])
+        # dispatch ALL chunks and start their host copies before fetching
+        # any — compute of chunk k+1 overlaps the transfer of chunk k
+        pending = []
+        for lo in range(0, styles.shape[0], step):
+            chunk = styles[lo:lo + step]
             n = chunk.shape[0]
-            b = self._bucket(n)
-            padded = self._pad(chunk, b)
+            padded = self._pad(chunk, self._bucket(n))
             d = self._directions_for(padded, name=direction_name)
             edited = self._render(self.params, padded + d * change_power)
-            if pairs:
-                orig = self._render(self.params, padded)
+            orig = self._render(self.params, padded) if pairs else None
+            for a in (edited, orig):
+                if a is not None:
+                    try:
+                        a.copy_to_host_async()
+                    except Exception:  # sharded arrays / older runtimes
+                        pass
+            pending.append((n, edited, orig))
+        outs = []
+        for n, edited, orig in pending:
+            if orig is not None:
                 img = np.concatenate([np.asarray(orig), np.asarray(edited)],
                                      axis=2)
             else:
