@@ -110,6 +110,8 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "noWD"
     if which == "noWD":
         measure("b4-noWD", 4, w_discriminator_lambda=0.0)
+    elif which == "bf16":
+        measure("b4-bf16", 4, bf16=True)
     elif which == "train_decoder":
         # batch 4 + decoder optimizer state misses the 15.75 GiB HBM by
         # 257 MiB (XLA compile-time OOM, measured 2026-08-20) — batch 2

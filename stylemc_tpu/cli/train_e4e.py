@@ -54,6 +54,9 @@ import numpy as np
 @click.option("--resume_training_from_ckpt", type=str, default=None)
 @click.option("--arcface_weights", type=str, default=None)
 @click.option("--allow_random_init", is_flag=True, default=False)
+@click.option("--bf16", is_flag=True, default=False,
+              help="bf16 activations in the decoder's upper blocks (the "
+                   "NVIDIA fp16 policy); params/optimizer stay fp32")
 def main(exp_dir, dataset_type, encoder_type, source_root, test_root,
          batch_size, test_batch_size, learning_rate, optim_name,
          train_decoder, lpips_type, lpips_lambda, id_lambda, l2_lambda,
@@ -62,7 +65,8 @@ def main(exp_dir, dataset_type, encoder_type, source_root, test_root,
          w_discriminator_lambda, w_discriminator_lr, r1, d_reg_every,
          use_w_pool, w_pool_size, delta_norm, delta_norm_lambda,
          data_parallel, progressive_start, progressive_step_every,
-         resume_training_from_ckpt, arcface_weights, allow_random_init):
+         resume_training_from_ckpt, arcface_weights, allow_random_init,
+         bf16):
     import jax
     import jax.numpy as jnp
     from ..train.coach import Coach, CoachOptions
@@ -88,7 +92,8 @@ def main(exp_dir, dataset_type, encoder_type, source_root, test_root,
         w_pool_size=w_pool_size, delta_norm=delta_norm,
         delta_norm_lambda=delta_norm_lambda,
         progressive_start=progressive_start,
-        progressive_step_every=progressive_step_every, exp_dir=exp_dir)
+        progressive_step_every=progressive_step_every, exp_dir=exp_dir,
+        bf16=bf16)
 
     # --- decoder
     if checkpoint_path:

@@ -76,6 +76,11 @@ class CoachOptions:
     # Ranger/RAdam warmup phase applies ~lr·|g| un-normalized — with
     # pathological inits/batches that diverges (in the reference too).
     grad_clip: float = 0.0
+    # bf16 activations in the decoder's upper num_fp16_res blocks (the
+    # NVIDIA fp16 policy the released generators train under; params and
+    # the optimizer state stay fp32 — mixed precision with fp32 master).
+    # Off by default: reference e4e trains pure fp32.
+    bf16: bool = False
 
     def __post_init__(self):
         if self.progressive_start is not None:
@@ -100,6 +105,10 @@ class Coach:
                  train_iter: Callable, test_iter: Optional[Callable] = None,
                  arcface_layout=None, mesh=None):
         self.opts = opts
+        if opts.bf16:
+            psp = dataclasses.replace(
+                psp, decoder_cfg=dataclasses.replace(
+                    psp.decoder_cfg, low_precision_dtype="bfloat16"))
         self.psp = psp
         self.perception = perception
         self.train_iter = train_iter

@@ -201,7 +201,7 @@ def test_coach_progressive_schedule(tiny_coach):
     assert coach.get_dims_to_discriminate() == [0]
 
 
-@pytest.mark.slow
+@pytest.mark.nightly
 def test_coach_train_steps(tiny_coach):
     coach = tiny_coach
     x, y = coach.train_iter()
@@ -280,7 +280,7 @@ def test_prefetch_iterator():
     assert got == {0, 1, 2, 3, 4}
 
 
-def _mesh_coach(mesh=None):
+def _mesh_coach(mesh=None, **opt_kw):
     """Fresh tiny coach with a deterministic data stream (for the mesh-DP
     equivalence test — the module-scoped fixture shares mutable state)."""
     gen_cfg = GeneratorConfig(img_resolution=256, channel_base=512,
@@ -304,12 +304,12 @@ def _mesh_coach(mesh=None):
 
     opts = CoachOptions(batch_size=2, max_steps=2, stylegan_size=256,
                         w_discriminator_lambda=0.1, id_lambda=0.1,
-                        lpips_lambda=0.8, l2_lambda=1.0)
+                        lpips_lambda=0.8, l2_lambda=1.0, **opt_kw)
     return Coach(opts, psp, perception, train_iter, test_iter=None,
                  arcface_layout=TINY_ARCFACE_LAYOUT, mesh=mesh)
 
 
-@pytest.mark.slow
+@pytest.mark.nightly
 def test_coach_mesh_data_parallel_matches_single():
     """Coach(mesh=2-device data mesh): per-step losses match the
     single-device coach (GSPMD grad psum == serial batch gradient)."""
@@ -350,3 +350,23 @@ def test_lookahead_slow_weights_own_their_buffers():
     for leaf in jax.tree_util.tree_leaves(st):
         if hasattr(leaf, "unsafe_buffer_pointer"):
             assert leaf.unsafe_buffer_pointer() not in ptrs
+
+
+@pytest.mark.nightly
+def test_coach_bf16_option_close_to_fp32():
+    """CoachOptions(bf16=True): bf16 activations in the decoder's upper
+    blocks, fp32 params/optimizer — losses stay finite and near the fp32
+    coach's on the same data (mixed precision, not a different model)."""
+    c32 = _mesh_coach(mesh=None)
+    x, y = c32.train_iter()
+
+    c16 = _mesh_coach(mesh=None, bf16=True)
+    assert c16.psp.decoder_cfg.low_precision_dtype == "bfloat16"
+
+    d32 = c32.train_step(x, y)
+    d16 = c16.train_step(x, y)
+    assert d16.keys() == d32.keys()
+    for k in d32:
+        assert np.isfinite(d16[k]), k
+        np.testing.assert_allclose(d16[k], d32[k], rtol=0.1, atol=0.05,
+                                   err_msg=k)

@@ -87,15 +87,27 @@ def test_upsample_add_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+from tiny import TINY_E4E_LAYOUT  # noqa: E402
+
+
 @pytest.fixture(scope="module")
 def enc():
+    """Tiny 4-stage body (the FPN-tap contract is layout-parametric);
+    the full IR-50 layout is exercised by enc_full below and the
+    torch-oracle suite (test_reference_parity.py)."""
+    return init_encoder_params(jax.random.PRNGKey(0), stylegan_size=256,
+                               layout=TINY_E4E_LAYOUT)
+
+
+@pytest.fixture(scope="module")
+def enc_full():
     return init_encoder_params(jax.random.PRNGKey(0), stylegan_size=256)
 
 
 @pytest.mark.slow
 def test_encoder4editing_shapes(enc):
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 256, 256)) * 0.5
-    w = encoder4editing(enc, x, stylegan_size=256)
+    w = encoder4editing(enc, x, stylegan_size=256, layout=TINY_E4E_LAYOUT)
     assert w.shape == (1, 14, 512)
     assert np.isfinite(np.array(w)).all()
 
@@ -103,12 +115,15 @@ def test_encoder4editing_shapes(enc):
 @pytest.mark.slow
 def test_encoder4editing_progressive_stages(enc):
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 256, 256)) * 0.5
-    w0 = encoder4editing(enc, x, stylegan_size=256, progressive_stage=0)
+    w0 = encoder4editing(enc, x, stylegan_size=256, progressive_stage=0,
+                         layout=TINY_E4E_LAYOUT)
     # stage 0: all rows equal w0 (no deltas yet)
     w0np = np.array(w0)
     for i in range(1, 14):
         np.testing.assert_allclose(w0np[:, i], w0np[:, 0], rtol=1e-5)
-    w_full = encoder4editing(enc, x, stylegan_size=256, progressive_stage=18)
+    w_full = encoder4editing(enc, x, stylegan_size=256,
+                             progressive_stage=18,
+                             layout=TINY_E4E_LAYOUT)
     assert not np.allclose(np.array(w_full)[:, 1], w0np[:, 1])
     # row 0 never gets a delta
     np.testing.assert_allclose(np.array(w_full)[:, 0], w0np[:, 0], rtol=1e-5)
@@ -117,20 +132,21 @@ def test_encoder4editing_progressive_stages(enc):
 @pytest.mark.slow
 def test_gradual_style_encoder_shapes(enc):
     x = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 256, 256)) * 0.5
-    w = gradual_style_encoder(enc, x, stylegan_size=256)
+    w = gradual_style_encoder(enc, x, stylegan_size=256,
+                              layout=TINY_E4E_LAYOUT)
     assert w.shape == (1, 14, 512)
 
 
 @pytest.mark.slow
-def test_encoder_torch_roundtrip(enc):
+def test_encoder_torch_roundtrip(enc_full):
     # Export -> torch namespace -> reimport -> identical outputs.
     from fabricate import encoder_to_torch_state
 
-    state = encoder_to_torch_state(enc, n_styles=14)
+    state = encoder_to_torch_state(enc_full, n_styles=14)
     p2 = encoder_params_from_torch_state(state, stylegan_size=256)
     x = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 256, 256)) * 0.5
     np.testing.assert_allclose(
-        np.array(encoder4editing(enc, x, 256)),
+        np.array(encoder4editing(enc_full, x, 256)),
         np.array(encoder4editing(p2, x, 256)), rtol=1e-5, atol=1e-5)
 
 
@@ -186,7 +202,8 @@ def test_psp_end_to_end(enc):
                               channel_max=64, mapping_layers=2,
                               conv_clamp=None)
     gen_params = init_generator_params(jax.random.PRNGKey(5), gen_cfg)
-    psp = PSP(cfg=PSPConfig(stylegan_size=256),
+    psp = PSP(cfg=PSPConfig(stylegan_size=256,
+                            encoder_layout=TINY_E4E_LAYOUT),
               encoder_params=enc, decoder_cfg=gen_cfg,
               decoder_params=gen_params,
               latent_avg=jnp.zeros((14, 512)))
@@ -203,7 +220,8 @@ def test_psp_latent_mask(enc):
                               channel_max=64, mapping_layers=2,
                               conv_clamp=None)
     gen_params = init_generator_params(jax.random.PRNGKey(7), gen_cfg)
-    psp = PSP(cfg=PSPConfig(stylegan_size=256),
+    psp = PSP(cfg=PSPConfig(stylegan_size=256,
+                            encoder_layout=TINY_E4E_LAYOUT),
               encoder_params=enc, decoder_cfg=gen_cfg,
               decoder_params=gen_params, latent_avg=None)
     x = jax.random.normal(jax.random.PRNGKey(8), (1, 3, 256, 256)) * 0.5

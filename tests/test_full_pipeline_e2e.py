@@ -44,7 +44,7 @@ def pkl_path(pipeline_dir):
     return fabricate_pkl(pipeline_dir, cfg, params)
 
 
-@pytest.mark.slow
+@pytest.mark.nightly
 def test_full_pipeline_from_files(pipeline_dir, pkl_path):
     from stylemc_tpu.cli.legacy import main as legacy
     from stylemc_tpu.cli.generate_w import main as generate_w
@@ -179,7 +179,7 @@ def test_full_pipeline_from_files(pipeline_dir, pkl_path):
     assert np.isfinite(by_metric["fid50k_full"]["fid50k_full"])
 
 
-@pytest.mark.slow
+@pytest.mark.nightly
 def test_lec_from_fabricated_checkpoint(pipeline_dir):
     """LEC (encoder4editing/metrics/LEC.py contract) on the fabricated e4e
     checkpoint: |E(G(E(x))) − E(x)|² over an edit round-trip."""
@@ -204,7 +204,7 @@ def test_lec_from_fabricated_checkpoint(pipeline_dir):
     assert np.isfinite(lec)
 
 
-@pytest.mark.slow
+@pytest.mark.nightly
 def test_find_direction_cli_batch_prompts(pipeline_dir, pkl_path):
     """--text_prompts + --batch_prompts trains every prompt in ONE vmapped
     run and writes one direction_<prompt>.npz per prompt."""

@@ -171,7 +171,7 @@ def test_http_direction_param(tmp_path):
         server.shutdown()
 
 
-@pytest.mark.slow
+@pytest.mark.nightly
 def test_invert_edit_images(tmp_path):
     """Real-image serving: uint8 photos → e4e encode → the editor
     generator's S space → edit → render (the offline infer_e4e →
