@@ -542,6 +542,14 @@ def bench_find_direction(cfg, params, weights_tag):
             out["phase_breakdown"] = {k: round(v, 1)
                                       for k, v in phases.items()}
             out["phase_breakdown_clean"] = bool(clean)
+            # isolated per-op graphs carry a ~4 ms/call dispatch floor on
+            # this link (docs/performance.md "synthesis fwd+bwd ceiling")
+            # plus per-call executable-load cost that hits the scanned
+            # ArcFace body hardest — compare these across BENCH rounds,
+            # not to the in-graph step decomposition
+            out["phase_breakdown_note"] = (
+                "chained, 8 dispatches/phase; includes per-dispatch link "
+                "overhead — round-over-round comparable only")
         except Exception as e:
             print(f"# phase breakdown unavailable: {e}", file=sys.stderr)
     print(json.dumps(out))
