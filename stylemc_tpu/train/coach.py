@@ -413,31 +413,34 @@ class Coach:
         return real_w, fake_w
 
     def train_discriminator(self, x):
+        """Returns the D losses as DEVICE scalars: train_step merges them
+        with the encoder step's dict into ONE device_get — on tunneled
+        runtimes each fetch is a full link round-trip."""
         real_w, fake_w = self.sample_real_and_fake_latents(x)
         real_w = jax.lax.stop_gradient(real_w)
         fake_w = jax.lax.stop_gradient(fake_w)
         d_step = self._get_d_step_fn(self.global_step % self.opts.d_reg_every == 0)
         self.discriminator_params, self.d_opt_state, out = d_step(
             self.discriminator_params, self.d_opt_state, real_w, fake_w)
-        # one device→host transfer for the whole dict: per-scalar float()
-        # pays one tunnel round-trip each on remote runtimes
-        out = jax.device_get(out)
-        return {k: float(v) for k, v in out.items()}
+        return out
 
     # ------------------------------------------------------------ main loop
 
     def train_step(self, x, y) -> Dict[str, float]:
-        loss_dict = {}
+        d_dict = {}
         if self.is_training_discriminator():
-            loss_dict = self.train_discriminator(x)
+            d_dict = self.train_discriminator(x)
         step = self._get_step_fn(self.progressive_stage())
         trainable = self._trainable()
         trainable, self.opt_state, enc_dict, y_hat, latent = step(
             trainable, self.opt_state, jnp.asarray(x), jnp.asarray(y),
             self.discriminator_params)
         self._install(trainable)
-        enc_dict = jax.device_get(enc_dict)  # single transfer, see above
-        loss_dict.update({k: float(v) for k, v in enc_dict.items()})
+        # ONE device→host transfer for D + encoder losses together:
+        # per-dict (let alone per-scalar) fetches each pay a tunnel
+        # round-trip on remote runtimes
+        merged = jax.device_get({**d_dict, **enc_dict})
+        loss_dict = {k: float(v) for k, v in merged.items()}
         self.global_step += 1
         return loss_dict
 
