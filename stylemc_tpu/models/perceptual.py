@@ -39,6 +39,19 @@ VGG16_LEN = 31
 VGG16_TAPS = (4, 9, 16, 23, 30)
 VGG16_CHANNELS = (64, 128, 256, 512, 512)
 
+# torchvision squeezenet1_1.features (networks.py:66-74): conv0 + Fire modules
+# interleaved with ceil-mode MaxPool(3,2). fire spec: idx → (in_c, squeeze,
+# expand1x1, expand3x3); output channels = expand1x1 + expand3x3.
+SQUEEZE_CONVS = {0: (64, 3, 2, 0)}
+SQUEEZE_FIRES = {3: (64, 16, 64, 64), 4: (128, 16, 64, 64),
+                 6: (128, 32, 128, 128), 7: (256, 32, 128, 128),
+                 9: (256, 48, 192, 192), 10: (384, 48, 192, 192),
+                 11: (384, 64, 256, 256), 12: (512, 64, 256, 256)}
+SQUEEZE_POOLS = {2, 5, 8}         # MaxPool(3, stride 2, ceil_mode=True)
+SQUEEZE_LEN = 13
+SQUEEZE_TAPS = (2, 5, 8, 10, 11, 12, 13)
+SQUEEZE_CHANNELS = (64, 128, 256, 384, 384, 512, 512)
+
 
 def _conv(x, p, stride, padding):
     y = jax.lax.conv_general_dilated(
@@ -48,9 +61,25 @@ def _conv(x, p, stride, padding):
     return y + p["bias"][None, :, None, None].astype(x.dtype)
 
 
-def _maxpool(x, k, s):
-    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
-                                 (1, 1, k, k), (1, 1, s, s), "VALID")
+def _maxpool(x, k, s, ceil_mode=False):
+    pad_h = pad_w = 0
+    if ceil_mode:
+        # torch ceil_mode: out = ceil((H-k)/s)+1; emulate by -inf padding the
+        # high side. pad ≤ s-1 < k so the extra window still overlaps input.
+        h, w = x.shape[2], x.shape[3]
+        pad_h = (-(h - k) % s) if (h - k) % s else 0
+        pad_w = (-(w - k) % s) if (w - k) % s else 0
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, k, k), (1, 1, s, s),
+        [(0, 0), (0, 0), (0, pad_h), (0, pad_w)])
+
+
+def _fire(x, p):
+    """torchvision Fire: 1x1 squeeze+relu → concat(1x1 expand, 3x3 expand)."""
+    s = jnp.maximum(_conv(x, p["squeeze"], 1, 0), 0)
+    e1 = jnp.maximum(_conv(s, p["expand1x1"], 1, 0), 0)
+    e3 = jnp.maximum(_conv(s, p["expand3x3"], 1, 1), 0)
+    return jnp.concatenate([e1, e3], axis=1)
 
 
 def normalize_activation(x, eps=1e-10):
@@ -65,13 +94,17 @@ def _z_score(x):
 
 
 def _net_spec(net_type: str):
+    """→ (convs, fires, pools, length, taps, channels, pool_ks, ceil_mode)."""
     if net_type == "alex":
-        return ALEXNET_CONVS, ALEXNET_POOLS, ALEXNET_LEN, ALEXNET_TAPS, \
-            ALEXNET_CHANNELS, (3, 2)
+        return ALEXNET_CONVS, {}, ALEXNET_POOLS, ALEXNET_LEN, ALEXNET_TAPS, \
+            ALEXNET_CHANNELS, (3, 2), False
     if net_type == "vgg":
-        return VGG16_CONVS, VGG16_POOLS, VGG16_LEN, VGG16_TAPS, \
-            VGG16_CHANNELS, (2, 2)
-    raise NotImplementedError(f"net_type {net_type!r} (alex|vgg)")
+        return VGG16_CONVS, {}, VGG16_POOLS, VGG16_LEN, VGG16_TAPS, \
+            VGG16_CHANNELS, (2, 2), False
+    if net_type == "squeeze":
+        return SQUEEZE_CONVS, SQUEEZE_FIRES, SQUEEZE_POOLS, SQUEEZE_LEN, \
+            SQUEEZE_TAPS, SQUEEZE_CHANNELS, (3, 2), True
+    raise NotImplementedError(f"net_type {net_type!r} (alex|vgg|squeeze)")
 
 
 def features(params, x, net_type: str = "alex") -> List[jnp.ndarray]:
@@ -79,15 +112,17 @@ def features(params, x, net_type: str = "alex") -> List[jnp.ndarray]:
 
     Layer walk mirrors the reference BaseNet.forward (networks.py:54-62):
     enumerate from 1, tap AFTER applying the layer when index ∈ taps."""
-    convs, pools, length, taps, _, pool_ks = _net_spec(net_type)
+    convs, fires, pools, length, taps, _, pool_ks, ceil = _net_spec(net_type)
     x = _z_score(x)
     out = []
     for idx in range(length):
         if idx in convs:
             c, k, s, pad = convs[idx]
             x = _conv(x, params[f"features.{idx}"], s, pad)
+        elif idx in fires:
+            x = _fire(x, params[f"features.{idx}"])
         elif idx in pools:
-            x = _maxpool(x, pool_ks[0], pool_ks[1])
+            x = _maxpool(x, pool_ks[0], pool_ks[1], ceil)
         else:  # ReLU
             x = jnp.maximum(x, 0)
         if (idx + 1) in taps:
@@ -98,33 +133,49 @@ def features(params, x, net_type: str = "alex") -> List[jnp.ndarray]:
 
 
 def lpips_channels(net_type: str = "alex") -> Sequence[int]:
-    return _net_spec(net_type)[4]
+    return _net_spec(net_type)[5]
 
 
 def init_backbone(key, net_type: str = "alex") -> Dict[str, Any]:
-    convs, _, _, _, _, _ = _net_spec(net_type)
+    convs, fires, *_ = _net_spec(net_type)
     params = {}
     in_c = 3
-    ks = iter(jax.random.split(key, len(convs)))
-    for idx in sorted(convs):
-        c, k, s, pad = convs[idx]
-        fan = in_c * k * k
-        params[f"features.{idx}"] = {
-            "weight": jax.random.normal(next(ks), (c, in_c, k, k)) *
-            np.sqrt(2.0 / fan),
-            "bias": jnp.zeros((c,)),
-        }
-        in_c = c
+    ks = iter(jax.random.split(key, len(convs) + 3 * len(fires)))
+
+    def _he(shape):
+        fan = shape[1] * shape[2] * shape[3]
+        return {"weight": jax.random.normal(next(ks), shape) *
+                np.sqrt(2.0 / fan), "bias": jnp.zeros((shape[0],))}
+
+    for idx in sorted({**convs, **fires}):
+        if idx in convs:
+            c, k, s, pad = convs[idx]
+            params[f"features.{idx}"] = _he((c, in_c, k, k))
+            in_c = c
+        else:
+            fin, sq, e1, e3 = fires[idx]
+            params[f"features.{idx}"] = {
+                "squeeze": _he((sq, fin, 1, 1)),
+                "expand1x1": _he((e1, sq, 1, 1)),
+                "expand3x3": _he((e3, sq, 3, 3)),
+            }
+            in_c = e1 + e3
     return params
 
 
 def backbone_from_torch_state(state: Dict[str, np.ndarray],
                               net_type: str = "alex") -> Dict[str, Any]:
-    convs = _net_spec(net_type)[0]
+    convs, fires, *_ = _net_spec(net_type)
     params = {}
     for idx in sorted(convs):
         params[f"features.{idx}"] = {
             "weight": jnp.asarray(state[f"features.{idx}.weight"]),
             "bias": jnp.asarray(state[f"features.{idx}.bias"]),
+        }
+    for idx in sorted(fires):
+        params[f"features.{idx}"] = {
+            part: {"weight": jnp.asarray(state[f"features.{idx}.{part}.weight"]),
+                   "bias": jnp.asarray(state[f"features.{idx}.{part}.bias"])}
+            for part in ("squeeze", "expand1x1", "expand3x3")
         }
     return params

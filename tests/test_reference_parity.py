@@ -182,11 +182,46 @@ def _seed_torchvision_stub():
                     inp = c
             self.features = nn.Sequential(*layers)
 
+    # torchvision squeezenet1_1: Fire submodules named squeeze/expand1x1/
+    # expand3x3, ceil-mode MaxPool(3,2) — the layout networks.py:70 taps.
+    class _Fire(nn.Module):
+        def __init__(self, inp, sq, e1, e3):
+            super().__init__()
+            self.squeeze = nn.Conv2d(inp, sq, 1)
+            self.squeeze_activation = nn.ReLU(inplace=True)
+            self.expand1x1 = nn.Conv2d(sq, e1, 1)
+            self.expand1x1_activation = nn.ReLU(inplace=True)
+            self.expand3x3 = nn.Conv2d(sq, e3, 3, padding=1)
+            self.expand3x3_activation = nn.ReLU(inplace=True)
+
+        def forward(self, x):
+            x = self.squeeze_activation(self.squeeze(x))
+            return torch.cat([
+                self.expand1x1_activation(self.expand1x1(x)),
+                self.expand3x3_activation(self.expand3x3(x))], 1)
+
+    class _SqueezeNet11(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(
+                nn.Conv2d(3, 64, 3, 2), nn.ReLU(inplace=True),
+                nn.MaxPool2d(3, 2, ceil_mode=True),
+                _Fire(64, 16, 64, 64), _Fire(128, 16, 64, 64),
+                nn.MaxPool2d(3, 2, ceil_mode=True),
+                _Fire(128, 32, 128, 128), _Fire(256, 32, 128, 128),
+                nn.MaxPool2d(3, 2, ceil_mode=True),
+                _Fire(256, 48, 192, 192), _Fire(384, 48, 192, 192),
+                _Fire(384, 64, 256, 256), _Fire(512, 64, 256, 256),
+            )
+
     def alexnet(pretrained=False, weights=None, **kw):
         return _AlexNet()
 
     def vgg16(pretrained=False, weights=None, **kw):
         return _VGG16()
+
+    def squeezenet1_1(pretrained=False, weights=None, **kw):
+        return _SqueezeNet11()
 
     # torchvision-layout ResNet-50 (the MoCo backbone moco_loss.py:21 builds)
     class _Bottleneck(nn.Module):
@@ -240,6 +275,7 @@ def _seed_torchvision_stub():
 
     tv_models.alexnet = alexnet
     tv_models.vgg16 = vgg16
+    tv_models.squeezenet1_1 = squeezenet1_1
     tv_models.resnet50 = resnet50
     tv_models.__dict__["resnet50"] = resnet50
     tv.models = tv_models
@@ -646,7 +682,7 @@ def test_rosinality_discriminator_vs_torch():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("net_type", ["alex", "vgg"])
+@pytest.mark.parametrize("net_type", ["alex", "vgg", "squeeze"])
 def test_lpips_vs_torch(net_type):
     """criteria/lpips (encoder4editing/criteria/lpips/{lpips,networks}.py):
     z-score -> backbone taps -> unit-normalize -> squared diff -> 1x1 lin ->
@@ -659,23 +695,30 @@ def test_lpips_vs_torch(net_type):
     if e4e_root not in sys.path:
         sys.path.append(e4e_root)
 
-    # bypass the pretrained-weight download inside networks.AlexNet/VGG16
+    # bypass the pretrained-weight download inside networks.{AlexNet,VGG16,
+    # SqueezeNet}
     torch.manual_seed(0)
     orig_alex, orig_vgg = tvm.alexnet, tvm.vgg16
+    orig_squeeze = tvm.squeezenet1_1
     tvm.alexnet = lambda *a, **k: orig_alex(weights=None)
     tvm.vgg16 = lambda *a, **k: orig_vgg(weights=None)
+    tvm.squeezenet1_1 = lambda *a, **k: orig_squeeze(weights=None)
     try:
         from criteria.lpips.networks import get_network, LinLayers
         net = get_network(net_type).eval()
     finally:
         tvm.alexnet, tvm.vgg16 = orig_alex, orig_vgg
+        tvm.squeezenet1_1 = orig_squeeze
     lins = LinLayers(net.n_channels_list)
     with torch.no_grad():
         for lin in lins:
             lin[1].weight.uniform_(0.0, 1.0)
 
-    x = torch.randn(2, 3, 64, 64) * 0.4
-    y = torch.randn(2, 3, 64, 64) * 0.4
+    # 65px for squeeze so a pool output is fractional and the ceil_mode=True
+    # branch (networks.py:70 squeezenet1_1 MaxPool) is actually exercised.
+    res = 65 if net_type == "squeeze" else 64
+    x = torch.randn(2, 3, res, res) * 0.4
+    y = torch.randn(2, 3, res, res) * 0.4
     with torch.no_grad():
         fx, fy = net(x), net(y)
         diff = [(a - b) ** 2 for a, b in zip(fx, fy)]
