@@ -96,9 +96,14 @@ class BatchEditor:
         # compute overlaps the previous chunk's uint8 transfer over the
         # (slow, serializing) host link. Measured batch 64 @256px: p50
         # 617 → 425 ms (-31%) at chunk 16 (.bench/serve_pipeline_ab.py).
-        # Results are bit-identical — the same per-bucket graphs run on
-        # the same rows. 0 disables chunking.
+        # Equality with the unchunked path was measured byte-equal on this
+        # platform (same rows through the bucket-16 graph instead of the
+        # bucket-32/64 ones — an XLA compilation detail, not guaranteed by
+        # construction). 0 disables chunking. In-flight chunks are bounded
+        # (max_inflight_chunks) so peak HBM for direct large-N edit_styles
+        # calls stays constant instead of linear in request size.
         self.pipeline_chunk = pipeline_chunk
+        self.max_inflight_chunks = 4
 
         def _styles_fn(gp, z):
             return w_to_s(gp, self.cfg,
@@ -257,9 +262,21 @@ class BatchEditor:
         styles = jnp.asarray(styles, jnp.float32)
         step = self.pipeline_chunk or self.buckets[-1]
         step = min(step, self.buckets[-1])
-        # dispatch ALL chunks and start their host copies before fetching
-        # any — compute of chunk k+1 overlaps the transfer of chunk k
-        pending = []
+        # Dispatch ahead and start host copies asynchronously, but keep at
+        # most max_inflight_chunks chunks' device buffers live — compute of
+        # chunk k+1 still overlaps the transfer of chunk k, while peak HBM
+        # stays constant for arbitrarily large N (1024px pairs ≈ 6 MB/row).
+        pending: List[Tuple[int, jnp.ndarray, Optional[jnp.ndarray]]] = []
+        outs: List[np.ndarray] = []
+
+        def _fetch(n, edited, orig):
+            if orig is not None:
+                img = np.concatenate([np.asarray(orig), np.asarray(edited)],
+                                     axis=2)
+            else:
+                img = np.asarray(edited)
+            outs.append(img[:n])
+
         for lo in range(0, styles.shape[0], step):
             chunk = styles[lo:lo + step]
             n = chunk.shape[0]
@@ -274,14 +291,10 @@ class BatchEditor:
                     except Exception:  # sharded arrays / older runtimes
                         pass
             pending.append((n, edited, orig))
-        outs = []
-        for n, edited, orig in pending:
-            if orig is not None:
-                img = np.concatenate([np.asarray(orig), np.asarray(edited)],
-                                     axis=2)
-            else:
-                img = np.asarray(edited)
-            outs.append(img[:n])
+            if len(pending) >= max(1, self.max_inflight_chunks):
+                _fetch(*pending.pop(0))
+        for t in pending:
+            _fetch(*t)
         return np.concatenate(outs, axis=0)
 
     def edit_seeds(self, seeds: Sequence[int], change_power: float = 2.0,
@@ -292,10 +305,15 @@ class BatchEditor:
                                 direction_name=direction_name)
 
     def warmup(self):
-        """Compile every bucket ahead of serving (the edit path and, when an
-        inverter is attached, the e4e invert path — otherwise the first
-        POST /edit_image pays the encoder trace+compile in-request)."""
+        """Compile every reachable bucket ahead of serving. The edit path
+        chunks requests at pipeline_chunk, so only buckets ≤ that chunk can
+        ever render; the invert path chunks at buckets[-1] and warms them
+        all (otherwise the first POST /edit_image pays the encoder
+        trace+compile in-request)."""
+        step = min(self.pipeline_chunk or self.buckets[-1], self.buckets[-1])
         for b in self.buckets:
+            if b > step:
+                break
             s = jnp.zeros((b, N_STYLE_CHANNELS, STYLE_DIM), jnp.float32)
             self.edit_styles(s, change_power=0.0)
         if self._invert is not None:

@@ -98,6 +98,15 @@ class Coach:
     psp: PSP bundle (encoder trainable; decoder frozen unless train_decoder).
     perception: {'lpips': params, 'arcface'|'moco': params} as configured.
     train_iter / test_iter: callables -> (x, y) numpy batches in [-1,1] NCHW.
+
+    Buffer-donation contract: train_step donates (trainable params, optimizer
+    state) into the jit — the ~4 GiB saving that fits FFHQ-1024 batch 4 on a
+    16 GB chip. Two consequences for callers: (a) any reference held to
+    pre-training encoder/decoder params (or opt state) is INVALIDATED after
+    the first step — copy before training if you need the originals; (b) a
+    step that fails at execute time (e.g. a transient device OOM) leaves
+    self.psp/self.opt_state pointing at already-donated buffers, making this
+    Coach instance unrecoverable mid-run — restart from the last checkpoint.
     """
 
     def __init__(self, opts: CoachOptions, psp: PSP,

@@ -218,6 +218,54 @@ def test_coach_train_steps(tiny_coach):
 
 
 @pytest.mark.slow
+def test_coach_train_decoder_donation():
+    """Pin the train_decoder=True donation aliasing contract: the decoder
+    rides in `trainable` (donated) while `frozen` carries a scalar
+    placeholder — passing the decoder buffers twice would abort with a
+    donate-same-buffer error (coach.py _get_step_fn). Runs 3 donated steps
+    with the W-discriminator on, plus use_w_pool (the pool round-trips W
+    codes through numpy between donated d-steps)."""
+    gen_cfg = GeneratorConfig(img_resolution=256, channel_base=512,
+                              channel_max=32, mapping_layers=2,
+                              conv_clamp=None)
+    gen_params = init_generator_params(jax.random.PRNGKey(0), gen_cfg)
+    enc_params = init_encoder_params(jax.random.PRNGKey(1), stylegan_size=256,
+                                     layout=TINY_E4E_LAYOUT)
+    psp = PSP(cfg=PSPConfig(stylegan_size=256,
+                            encoder_layout=TINY_E4E_LAYOUT),
+              encoder_params=enc_params,
+              decoder_cfg=gen_cfg, decoder_params=gen_params,
+              latent_avg=jnp.zeros((14, 512)))
+    perception = {"lpips": init_lpips_params(jax.random.PRNGKey(2), "alex"),
+                  "arcface": tiny_arcface()}
+    rng = np.random.RandomState(0)
+
+    def train_iter():
+        x = rng.randn(2, 3, 256, 256).astype(np.float32) * 0.3
+        return x, x.copy()
+
+    opts = CoachOptions(batch_size=2, max_steps=3, stylegan_size=256,
+                        w_discriminator_lambda=0.1, id_lambda=0.1,
+                        lpips_lambda=0.8, l2_lambda=1.0,
+                        train_decoder=True, use_w_pool=True)
+    coach = Coach(opts, psp, perception, train_iter, test_iter=None,
+                  arcface_layout=TINY_ARCFACE_LAYOUT)
+    # numpy copies — the device buffers themselves are donated by step 1
+    dec_before = [np.asarray(l) for l in
+                  jax.tree_util.tree_leaves(gen_params)]
+    for _ in range(3):
+        x, y = train_iter()
+        d = coach.train_step(x, y)
+        assert np.isfinite(d["loss"]), d
+    # the decoder actually trained (rode in trainable, not frozen)
+    dec_after = [np.asarray(l) for l in
+                 jax.tree_util.tree_leaves(coach.psp.decoder_params)]
+    changed = sum(not np.array_equal(a, b)
+                  for a, b in zip(dec_after, dec_before))
+    assert changed > 0, "decoder params unchanged after train_decoder steps"
+
+
+@pytest.mark.slow
 def test_coach_checkpoint_roundtrip(tiny_coach, tmp_path):
     coach = tiny_coach
     path = str(tmp_path / "ckpt.pkl")
