@@ -102,6 +102,12 @@ class FindDirectionConfig:
     # exists to BOUND per-graph compile size and a K-step scan would undo
     # that.
     steps_per_dispatch: int = 1
+    # 'cosine' mirrors the reference schedule (find_direction.py:298-299);
+    # 'constant' holds learning_rate fixed — the regime where cross-seed
+    # direction repeatability is near-1.0 (PARITY.md "Direction
+    # robustness"), used by bench.py's tight numerics tripwire. LR is a
+    # runtime value in every step path, so switching never recompiles.
+    lr_schedule: str = "cosine"        # 'cosine' | 'constant'
 
 
 def until_k_for_resolution(resolution: int) -> int:
@@ -115,6 +121,17 @@ def cosine_lr(base_lr: float, cur_iteration: int, total_iterations: int) -> floa
     """reference find_direction.py:298-299."""
     return float(np.cos(np.pi * cur_iteration / total_iterations)
                  * base_lr * 0.5 + base_lr * 0.5)
+
+
+def schedule_lr(fdc: "FindDirectionConfig", cur_iteration: int,
+                total_iterations: int) -> float:
+    """LR for step `cur_iteration` under fdc.lr_schedule."""
+    if fdc.lr_schedule == "constant":
+        return float(fdc.learning_rate)
+    if fdc.lr_schedule != "cosine":
+        raise ValueError(f"lr_schedule {fdc.lr_schedule!r} "
+                         "(cosine | constant)")
+    return cosine_lr(fdc.learning_rate, cur_iteration, total_iterations)
 
 
 @dataclasses.dataclass
@@ -785,9 +802,8 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
         while cur_iteration < total_iterations:
             k = min(K, total_iterations - cur_iteration)
             iters = np.arange(cur_iteration + 1, cur_iteration + k + 1)
-            lrs = np.asarray([cosine_lr(fdc.learning_rate, int(i),
-                                        total_iterations) for i in iters],
-                             np.float32)
+            lrs = np.asarray([schedule_lr(fdc, int(i), total_iterations)
+                              for i in iters], np.float32)
             # one rng draw per step — identical stream to the unrolled loop
             idx = np.stack([rng.randint(0, n_items, size=fdc.batch_size)
                             for _ in range(k)])
@@ -823,8 +839,7 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
         for epoch in range(fdc.n_epochs):
             for _ in range(num_batches):
                 cur_iteration += 1
-                lr = cosine_lr(fdc.learning_rate, cur_iteration,
-                               total_iterations)
+                lr = schedule_lr(fdc, cur_iteration, total_iterations)
                 idx = rng.randint(0, n_items, size=fdc.batch_size)
 
                 if fused:
@@ -1047,8 +1062,7 @@ class DirectionEngine:
         for _ in range(fdc.n_epochs):
             for _ in range(num_batches):
                 cur_iteration += 1
-                lr = cosine_lr(fdc.learning_rate, cur_iteration,
-                               total_iterations)
+                lr = schedule_lr(fdc, cur_iteration, total_iterations)
                 idx = rng.randint(0, self.n_items, size=fdc.batch_size)
                 delta_s, opt_state, loss, aux = self._step(
                     delta_s, opt_state, jnp.asarray(idx, jnp.int32),
@@ -1223,8 +1237,7 @@ class DirectionEngine:
         for _ in range(fdc.n_epochs):
             for _ in range(num_batches):
                 cur_iteration += 1
-                lr = cosine_lr(fdc.learning_rate, cur_iteration,
-                               total_iterations)
+                lr = schedule_lr(fdc, cur_iteration, total_iterations)
                 idx = rng.randint(0, self.n_items, size=fdc.batch_size)
                 deltas, opt_states, losses, auxs = batched_step(
                     deltas, opt_states, text_dirs_b,

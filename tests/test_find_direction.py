@@ -49,6 +49,35 @@ def test_cosine_lr_schedule():
     assert cosine_lr(2.0, 100, 100) == pytest.approx(0.0, abs=1e-9)
 
 
+def test_constant_lr_schedule(setup):
+    """lr_schedule='constant' (bench.py numerics tripwire regime): LR holds
+    at learning_rate every step; both the unrolled and the scan
+    (steps_per_dispatch>1) paths honor it and agree."""
+    from stylemc_tpu.train.find_direction import schedule_lr
+
+    fdc = _fdc(lr_schedule="constant")
+    assert schedule_lr(fdc, 1, 100) == schedule_lr(fdc, 100, 100) == 0.5
+    gen_cfg, gen_params, clip_models, arcface, styles = setup
+    d_unrolled, info = find_direction(
+        gen_params, gen_cfg, styles, clip_models, arcface, fdc,
+        tokenizer=FallbackTokenizer())
+    d_scan, _ = find_direction(
+        gen_params, gen_cfg, styles, clip_models, arcface,
+        _fdc(lr_schedule="constant", steps_per_dispatch=3),
+        tokenizer=FallbackTokenizer())
+    assert np.isfinite(info["history"]).all()
+    # scan-vs-unrolled tolerance as in
+    # test_find_direction_steps_per_dispatch_matches_unrolled (XLA fuses
+    # the scan body differently — reduction reassociation)
+    np.testing.assert_allclose(np.asarray(d_unrolled), np.asarray(d_scan),
+                               rtol=5e-2, atol=3e-3)
+    # and it actually differs from the cosine schedule's result
+    d_cos, _ = find_direction(
+        gen_params, gen_cfg, styles, clip_models, arcface, _fdc(),
+        tokenizer=FallbackTokenizer())
+    assert not np.allclose(np.asarray(d_unrolled), np.asarray(d_cos))
+
+
 def test_find_direction_runs_and_updates(setup):
     gen_cfg, gen_params, clip_models, arcface, styles = setup
     direction, info = find_direction(
