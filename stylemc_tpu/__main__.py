@@ -1,4 +1,8 @@
-"""`python -m stylemc_tpu` — list the CLI surface."""
+"""`python -m stylemc_tpu` — list the CLI surface, or dispatch a subcommand
+(`python -m stylemc_tpu verify --network ...` ≡
+ `python -m stylemc_tpu.cli.verify_weights --network ...`)."""
+
+import sys
 
 CLIS = [
     ("generate_w", "seeds → W latents npz"),
@@ -17,9 +21,24 @@ CLIS = [
     ("clip_filter", "CLIP attribute filtering / dataset balancing"),
     ("compare_directions", "per-channel cosine between direction files"),
     ("serve", "HTTP edit serving over pre-compiled batch buckets"),
+    ("verify", "real-weights verification harness → parity report"),
 ]
 
+# subcommand → module name where it differs from the CLI name
+_ALIASES = {"verify": "verify_weights"}
+
 if __name__ == "__main__":
-    print("stylemc_tpu CLIs (python -m stylemc_tpu.cli.<name> --help):\n")
-    for name, desc in CLIS:
-        print(f"  {name:22s} {desc}")
+    names = {name for name, _ in CLIS}
+    if len(sys.argv) > 1 and sys.argv[1] in names:
+        import importlib
+
+        sub = sys.argv.pop(1)
+        mod = importlib.import_module(
+            f"stylemc_tpu.cli.{_ALIASES.get(sub, sub)}")
+        sys.argv[0] = f"stylemc_tpu {sub}"
+        mod.main()
+    else:
+        print("stylemc_tpu CLIs (python -m stylemc_tpu.cli.<name> --help, "
+              "or python -m stylemc_tpu <name> ...):\n")
+        for name, desc in CLIS:
+            print(f"  {name:22s} {desc}")
