@@ -112,6 +112,16 @@ if __name__ == "__main__":
         measure("b4-noWD", 4, w_discriminator_lambda=0.0)
     elif which == "bf16":
         measure("b4-bf16", 4, bf16=True)
+    elif which == "pbf16":
+        measure("b4-perception-bf16", 4, perception_bf16=True)
+    elif which == "allbf16":
+        measure("b4-decoder+perception-bf16", 4, bf16=True,
+                perception_bf16=True)
+    elif which == "encbf16":
+        measure("b4-encoder-bf16", 4, encoder_bf16=True)
+    elif which == "maxbf16":
+        measure("b4-enc+dec+perception-bf16", 4, bf16=True,
+                perception_bf16=True, encoder_bf16=True)
     elif which == "train_decoder":
         # batch 4 + decoder optimizer state misses the 15.75 GiB HBM by
         # 257 MiB (XLA compile-time OOM, measured 2026-08-20) — batch 2

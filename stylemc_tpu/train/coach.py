@@ -81,6 +81,21 @@ class CoachOptions:
     # the optimizer state stay fp32 — mixed precision with fp32 master).
     # Off by default: reference e4e trains pure fp32.
     bf16: bool = False
+    # bf16 activations through the PERCEPTION towers (LPIPS + ArcFace/MoCo
+    # ID) — the measured coach bottleneck is perception-side, not the
+    # decoder (docs/performance.md; decoder-only --bf16 bought ~5%). Same
+    # mechanism as find_direction's --perception_bf16 (0.998 direction
+    # cosine there): tower INPUTS cast to bf16, weights follow the input
+    # dtype inside the ops, losses accumulate in fp32. The L2/W-norm
+    # terms and all trainable state stay fp32.
+    perception_bf16: bool = False
+    # bf16 activations through the TRAINABLE e4e encoder — classic mixed
+    # precision: the Ranger state and master weights stay fp32; the
+    # forward casts params+input to bf16 (bf16 keeps the fp32 exponent
+    # range, so no loss scaling is needed) and the W+ codes return to
+    # fp32. The encoder is the measured step bottleneck (decoder-only
+    # bf16 bought ~5%, perception-only ~8%; docs/performance.md).
+    encoder_bf16: bool = False
 
     def __post_init__(self):
         if self.progressive_start is not None:
@@ -207,10 +222,20 @@ class Coach:
         frozen = frozen or {"decoder": self.psp.decoder_params,
                             "perception": self.perception}
         perception = frozen["perception"]
+        enc_params = trainable["encoder"]
+        x_enc = x
+        if opts.encoder_bf16:
+            # mixed precision: bf16 compute params cast from the fp32
+            # masters each step (grads flow back through the cast as fp32)
+            enc_params = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, enc_params)
+            x_enc = x.astype(jnp.bfloat16)
         psp = dataclasses.replace(
-            self.psp, encoder_params=trainable["encoder"],
+            self.psp, encoder_params=enc_params,
             decoder_params=trainable.get("decoder", frozen["decoder"]))
-        codes = psp.encode(x, progressive_stage=stage)
+        codes = psp.encode(x_enc, progressive_stage=stage).astype(
+            jnp.float32)
         y_hat = psp.decode(codes, resize=True, noise_mode="const")
         if opts.dataset_type == "cars_encode":
             # cars StyleGAN renders 512x384 content in a 512x512 frame
@@ -241,22 +266,32 @@ class Coach:
             loss_dict["total_delta_loss"] = total_delta
             loss += opts.delta_norm_lambda * total_delta
 
+        # perception towers optionally run in bf16 (activations; weights
+        # follow the input dtype inside the ops); losses come back fp32
+        if opts.perception_bf16:
+            yp_hat = y_hat.astype(jnp.bfloat16)
+            yp = y.astype(jnp.bfloat16)
+            xq = x.astype(jnp.bfloat16)
+        else:
+            yp_hat, yp, xq = y_hat, y, x
         if opts.id_lambda > 0:
             if "arcface" in perception:
                 loss_id, sim = e4e_id_loss(perception["arcface"],
-                                           y_hat, y, x, self.arcface_layout)
+                                           yp_hat, yp, xq,
+                                           self.arcface_layout)
             else:
-                loss_id, sim = moco_loss(perception["moco"], y_hat, y, x)
+                loss_id, sim = moco_loss(perception["moco"], yp_hat, yp, xq)
+            loss_id = loss_id.astype(jnp.float32)
             loss_dict["loss_id"] = loss_id
-            loss_dict["id_improve"] = sim
+            loss_dict["id_improve"] = sim.astype(jnp.float32)
             loss += loss_id * opts.id_lambda
         if opts.l2_lambda > 0:
             loss_l2 = jnp.mean(jnp.square(y_hat - y))
             loss_dict["loss_l2"] = loss_l2
             loss += loss_l2 * opts.l2_lambda
         if opts.lpips_lambda > 0:
-            loss_lp = lpips_loss(perception["lpips"], y_hat, y,
-                                 self.opts.lpips_type)
+            loss_lp = lpips_loss(perception["lpips"], yp_hat, yp,
+                                 self.opts.lpips_type).astype(jnp.float32)
             loss_dict["loss_lpips"] = loss_lp
             loss += loss_lp * opts.lpips_lambda
         if opts.w_norm_lambda > 0:

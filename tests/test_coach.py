@@ -218,6 +218,52 @@ def test_coach_train_steps(tiny_coach):
 
 
 @pytest.mark.slow
+def test_coach_perception_bf16_close_to_fp32():
+    """perception_bf16 runs the LPIPS/ID towers in bf16: the step must
+    produce finite losses close to the fp32 coach's (same weights, same
+    batch) — trainable state and the L2 term stay fp32 exactly."""
+    gen_cfg = GeneratorConfig(img_resolution=256, channel_base=512,
+                              channel_max=32, mapping_layers=2,
+                              conv_clamp=None)
+    gen_params = init_generator_params(jax.random.PRNGKey(0), gen_cfg)
+    enc_params = init_encoder_params(jax.random.PRNGKey(1), stylegan_size=256,
+                                     layout=TINY_E4E_LAYOUT)
+    perception = {"lpips": init_lpips_params(jax.random.PRNGKey(2), "alex"),
+                  "arcface": tiny_arcface()}
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 256, 256).astype(np.float32) * 0.3
+
+    losses = {}
+    for tag, kw in (("fp32", {}),
+                    ("pbf16", dict(perception_bf16=True)),
+                    ("encbf16", dict(encoder_bf16=True))):
+        # fresh buffers per coach: train_step donates the trainable params
+        # (Coach docstring), so the first run deletes shared arrays
+        psp = PSP(cfg=PSPConfig(stylegan_size=256,
+                                encoder_layout=TINY_E4E_LAYOUT),
+                  encoder_params=jax.tree_util.tree_map(jnp.array,
+                                                        enc_params),
+                  decoder_cfg=gen_cfg, decoder_params=gen_params,
+                  latent_avg=jnp.zeros((14, 512)))
+        opts = CoachOptions(batch_size=2, max_steps=1, stylegan_size=256,
+                            w_discriminator_lambda=0.0, id_lambda=0.1,
+                            lpips_lambda=0.8, l2_lambda=1.0, **kw)
+        coach = Coach(opts, psp, perception,
+                      lambda: (x, x.copy()), test_iter=None,
+                      arcface_layout=TINY_ARCFACE_LAYOUT)
+        losses[tag] = coach.train_step(x, x.copy())
+    for variant, tol in (("pbf16", 0.05), ("encbf16", 0.1)):
+        for k in ("loss", "loss_id", "loss_lpips", "loss_l2"):
+            a, b = float(losses["fp32"][k]), float(losses[variant][k])
+            assert np.isfinite(b), (variant, k, b)
+            assert abs(a - b) <= tol * max(abs(a), 1e-2), (variant, k, a, b)
+    # the fp32 term must be bit-identical (it never touches bf16)
+    np.testing.assert_allclose(float(losses["fp32"]["loss_l2"]),
+                               float(losses["pbf16"]["loss_l2"]),
+                               rtol=1e-6)
+
+
+@pytest.mark.slow
 def test_coach_train_decoder_donation():
     """Pin the train_decoder=True donation aliasing contract: the decoder
     rides in `trainable` (donated) while `frozen` carries a scalar
