@@ -117,6 +117,14 @@ if __name__ == "__main__":
     elif which == "allbf16":
         measure("b4-decoder+perception-bf16", 4, bf16=True,
                 perception_bf16=True)
+    elif which == "fullbf16":
+        measure("b4-fullbf16-decoder+perception", 4, bf16_full=True,
+                perception_bf16=True)
+    elif which == "fullbf16-noremat":
+        import dataclasses
+        globals()["gen_cfg"] = dataclasses.replace(gen_cfg, remat=False)
+        measure("b4-fullbf16+perception-NO-remat", 4, bf16_full=True,
+                perception_bf16=True)
     elif which == "encbf16":
         measure("b4-encoder-bf16", 4, encoder_bf16=True)
     elif which == "maxbf16":

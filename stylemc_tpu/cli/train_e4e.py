@@ -54,6 +54,10 @@ import numpy as np
 @click.option("--resume_training_from_ckpt", type=str, default=None)
 @click.option("--arcface_weights", type=str, default=None)
 @click.option("--allow_random_init", is_flag=True, default=False)
+@click.option("--bf16_full", is_flag=True, default=False,
+              help="bf16 on every decoder block (the coach step is "
+                   "decoder-dominated; the FLOPs sit in the lower blocks "
+                   "the NVIDIA upper-block policy leaves fp32)")
 @click.option("--encoder_bf16", is_flag=True, default=False,
               help="mixed-precision e4e encoder: bf16 activations, fp32 "
                    "master weights in the optimizer")
@@ -73,7 +77,7 @@ def main(exp_dir, dataset_type, encoder_type, source_root, test_root,
          use_w_pool, w_pool_size, delta_norm, delta_norm_lambda,
          data_parallel, progressive_start, progressive_step_every,
          resume_training_from_ckpt, arcface_weights, allow_random_init,
-         encoder_bf16, perception_bf16, bf16):
+         bf16_full, encoder_bf16, perception_bf16, bf16):
     import jax
     import jax.numpy as jnp
     from ..train.coach import Coach, CoachOptions
@@ -100,7 +104,7 @@ def main(exp_dir, dataset_type, encoder_type, source_root, test_root,
         delta_norm_lambda=delta_norm_lambda,
         progressive_start=progressive_start,
         progressive_step_every=progressive_step_every, exp_dir=exp_dir,
-        bf16=bf16, perception_bf16=perception_bf16,
+        bf16=bf16, bf16_full=bf16_full, perception_bf16=perception_bf16,
         encoder_bf16=encoder_bf16)
 
     # --- decoder

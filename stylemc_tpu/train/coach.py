@@ -81,9 +81,13 @@ class CoachOptions:
     # the optimizer state stay fp32 — mixed precision with fp32 master).
     # Off by default: reference e4e trains pure fp32.
     bf16: bool = False
+    # bf16 on EVERY decoder block (not just the upper num_fp16_res) —
+    # the coach step is decoder-dominated and the 1024 generator's FLOPs
+    # sit in the 512-channel lower blocks (per-phase attribution,
+    # docs/performance.md); implies bf16.
+    bf16_full: bool = False
     # bf16 activations through the PERCEPTION towers (LPIPS + ArcFace/MoCo
-    # ID) — the measured coach bottleneck is perception-side, not the
-    # decoder (docs/performance.md; decoder-only --bf16 bought ~5%). Same
+    # ID). Same
     # mechanism as find_direction's --perception_bf16 (0.998 direction
     # cosine there): tower INPUTS cast to bf16, weights follow the input
     # dtype inside the ops, losses accumulate in fp32. The L2/W-norm
@@ -93,8 +97,8 @@ class CoachOptions:
     # precision: the Ranger state and master weights stay fp32; the
     # forward casts params+input to bf16 (bf16 keeps the fp32 exponent
     # range, so no loss scaling is needed) and the W+ codes return to
-    # fp32. The encoder is the measured step bottleneck (decoder-only
-    # bf16 bought ~5%, perception-only ~8%; docs/performance.md).
+    # fp32. Measured +~10% alone; the step is decoder-dominated
+    # (per-phase attribution, docs/performance.md).
     encoder_bf16: bool = False
 
     def __post_init__(self):
@@ -129,10 +133,19 @@ class Coach:
                  train_iter: Callable, test_iter: Optional[Callable] = None,
                  arcface_layout=None, mesh=None):
         self.opts = opts
-        if opts.bf16:
-            psp = dataclasses.replace(
-                psp, decoder_cfg=dataclasses.replace(
-                    psp.decoder_cfg, low_precision_dtype="bfloat16"))
+        if opts.bf16 or opts.bf16_full:
+            dec_cfg = dataclasses.replace(
+                psp.decoder_cfg, low_precision_dtype="bfloat16")
+            if opts.bf16_full:
+                # every block, not just the upper num_fp16_res: the
+                # 1024px coach step is decoder-dominated (229 of 608 ms)
+                # and a 1024 generator's FLOPs sit in the 512-channel
+                # LOWER blocks the NVIDIA fp16 policy leaves fp32
+                # (docs/performance.md per-phase attribution)
+                dec_cfg = dataclasses.replace(
+                    dec_cfg,
+                    num_fp16_res=len(dec_cfg.block_resolutions))
+            psp = dataclasses.replace(psp, decoder_cfg=dec_cfg)
         self.psp = psp
         self.perception = perception
         self.train_iter = train_iter

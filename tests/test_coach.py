@@ -236,7 +236,9 @@ def test_coach_perception_bf16_close_to_fp32():
     losses = {}
     for tag, kw in (("fp32", {}),
                     ("pbf16", dict(perception_bf16=True)),
-                    ("encbf16", dict(encoder_bf16=True))):
+                    ("encbf16", dict(encoder_bf16=True)),
+                    ("fullbf16", dict(bf16_full=True,
+                                      perception_bf16=True))):
         # fresh buffers per coach: train_step donates the trainable params
         # (Coach docstring), so the first run deletes shared arrays
         psp = PSP(cfg=PSPConfig(stylegan_size=256,
@@ -252,7 +254,8 @@ def test_coach_perception_bf16_close_to_fp32():
                       lambda: (x, x.copy()), test_iter=None,
                       arcface_layout=TINY_ARCFACE_LAYOUT)
         losses[tag] = coach.train_step(x, x.copy())
-    for variant, tol in (("pbf16", 0.05), ("encbf16", 0.1)):
+    for variant, tol in (("pbf16", 0.05), ("encbf16", 0.1),
+                         ("fullbf16", 0.15)):
         for k in ("loss", "loss_id", "loss_lpips", "loss_l2"):
             a, b = float(losses["fp32"][k]), float(losses[variant][k])
             assert np.isfinite(b), (variant, k, b)
