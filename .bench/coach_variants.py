@@ -62,16 +62,28 @@ def make_coach(batch, **opt_kw):
 
 def measure(tag, batch, **opt_kw):
     coach, train_iter = make_coach(batch, **opt_kw)
-    x, y = train_iter()
+    # pre-generate the data stream: host randn in the timed loop would
+    # serialize ~10 ms/step of numpy into the measurement
+    batches = [train_iter() for _ in range(10)]
     t0 = time.perf_counter()
-    coach.train_step(x, y)
+    coach.train_step(*batches[0])
     print(f"{tag}: first step {time.perf_counter() - t0:.1f}s", flush=True)
     for p in range(3):
         t0 = time.perf_counter()
-        for _ in range(10):
-            coach.train_step(*train_iter())
+        for b in batches:
+            coach.train_step(*b)
         dt = (time.perf_counter() - t0) / 10
         print(f"{tag} pass{p + 1}: {dt * 1e3:.1f} ms/step "
+              f"({batch / dt:.1f} imgs/s)", flush=True)
+    for p in range(2):
+        # pipelined: no per-step loss fetch — steps chain on donated params,
+        # drained by one final device_get (a production loop's cadence)
+        t0 = time.perf_counter()
+        for b in batches:
+            last = coach.train_step(*b, fetch=False)
+        jax.device_get(last)
+        dt = (time.perf_counter() - t0) / 10
+        print(f"{tag} pipelined pass{p + 1}: {dt * 1e3:.1f} ms/step "
               f"({batch / dt:.1f} imgs/s)", flush=True)
 
 
@@ -110,6 +122,16 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "noWD"
     if which == "noWD":
         measure("b4-noWD", 4, w_discriminator_lambda=0.0)
+    elif which == "fp32":
+        measure("b4-fp32-fused", 4)          # r5 default: fused W-D step
+    elif which == "fp32-nofuse":
+        measure("b4-fp32-UNfused", 4, fuse_d_step=False)  # r4 basis
+    elif which == "fullbf16-selremat256":
+        measure("b4-fullbf16+selremat256", 4, bf16_full=True,
+                perception_bf16=True, remat_min_res=256)
+    elif which == "fullbf16-selremat512":
+        measure("b4-fullbf16+selremat512", 4, bf16_full=True,
+                perception_bf16=True, remat_min_res=512)
     elif which == "bf16":
         measure("b4-bf16", 4, bf16=True)
     elif which == "pbf16":

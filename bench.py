@@ -562,34 +562,54 @@ def bench_find_direction(cfg, params, weights_tag):
                 gp, cfg, s, until_k=until_k, noise_mode="const"))(params, bs)
             jax.block_until_ready(img)
 
-            def chained_ms(fn, *args, iters=8):
+            def chained_ms(fn, *args, k_lo=2, k_hi=12, iters=4):
+                """IN-GRAPH per-iteration time: the fn is chained k times
+                under lax.scan inside ONE jit; the slope between a short
+                and a long chain cancels the per-dispatch link/drain
+                constant. The r≤4 basis (8 separate dispatches/phase)
+                carried that constant in full — ArcFace read ~40 ms where
+                its in-graph cost is 2-4 ms (VERDICT r4 weak #5); these
+                figures are directly comparable to the
+                .bench/step_breakdown.py / docs/performance.md numbers."""
                 leaves, treedef = jax.tree_util.tree_flatten(args)
 
-                @jax.jit
-                def chained(carry, *lvs):
-                    lvs = ((lvs[0] + carry.astype(lvs[0].dtype),)
-                           + tuple(lvs[1:]))
-                    o = fn(*jax.tree_util.tree_unflatten(treedef, lvs))
-                    first = jax.tree_util.tree_leaves(o)[0]
-                    return first.ravel()[0].astype(jnp.float32) * 1e-20
+                def make(k):
+                    @jax.jit
+                    def chained(carry, *lvs):
+                        def body(c, _):
+                            l2 = ((lvs[0] + c.astype(lvs[0].dtype),)
+                                  + tuple(lvs[1:]))
+                            o = fn(*jax.tree_util.tree_unflatten(treedef,
+                                                                 l2))
+                            first = jax.tree_util.tree_leaves(o)[0]
+                            return (first.ravel()[0].astype(jnp.float32)
+                                    * 1e-20), None
+                        c, _ = jax.lax.scan(body, carry, None, length=k)
+                        return c
+                    return chained
 
-                carry = jnp.float32(0.0)
-                carry = chained(carry, *leaves)   # compile
-                jax.block_until_ready(carry)
-                t0 = time.perf_counter()
-                for _ in range(iters):
-                    carry = chained(carry, *leaves)
-                float(carry)
-                return 1e3 * (time.perf_counter() - t0) / iters
+                per_call = {}
+                for k in (k_lo, k_hi):
+                    ch = make(k)
+                    carry = jnp.float32(0.0)
+                    carry = ch(carry, *leaves)   # compile
+                    jax.block_until_ready(carry)
+                    t0 = time.perf_counter()
+                    for _ in range(iters):
+                        carry = ch(carry, *leaves)
+                    float(carry)
+                    per_call[k] = (time.perf_counter() - t0) / iters
+                return (1e3 * (per_call[k_hi] - per_call[k_lo])
+                        / (k_hi - k_lo))
 
             def run_phases():
                 phases = {}
-                phases["synthesis_fwd_bwd_ms"] = chained_ms(
+                phases["synthesis_fwd_bwd_ingraph_ms"] = chained_ms(
                     lambda gp, s: jax.grad(lambda ss: jnp.sum(jnp.square(
                         synthesis(gp, cfg, ss, until_k=until_k,
                                   noise_mode="const"))))(s), params, bs)
-                for name, key in (("ViT-B/32", "clip_b32_fwd_bwd_ms"),
-                                  ("ViT-B/16", "clip_b16_fwd_bwd_ms")):
+                for name, key in (("ViT-B/32", "clip_b32_fwd_bwd_ingraph_ms"),
+                                  ("ViT-B/16", "clip_b16_fwd_bwd_ingraph_ms")):
                     b = [x for x in bundles
                          if x.cfg is clip_models[name][0]][0]
                     phases[key] = chained_ms(
@@ -597,7 +617,7 @@ def bench_find_direction(cfg, params, weights_tag):
                             _clip_image_features(b, i, "default",
                                                  clip_params=cp)))(im),
                         clip_models[name][1], img)
-                phases["arcface_fwd_bwd_ms"] = chained_ms(
+                phases["arcface_fwd_bwd_ingraph_ms"] = chained_ms(
                     lambda ap, im: jax.grad(lambda i: jnp.sum(
                         extract_feats(ap, i)))(im), arcface, img)
                 return phases
@@ -623,35 +643,55 @@ def bench_find_direction(cfg, params, weights_tag):
             out["phase_breakdown"] = {k: round(v, 1)
                                       for k, v in phases.items()}
             out["phase_breakdown_clean"] = bool(clean)
-            # isolated per-op graphs carry a ~4 ms/call dispatch floor on
-            # this link (docs/performance.md "synthesis fwd+bwd ceiling")
-            # plus per-call executable-load cost that hits the scanned
-            # ArcFace body hardest — compare these across BENCH rounds,
-            # not to the in-graph step decomposition
             out["phase_breakdown_note"] = (
-                "chained, 8 dispatches/phase; includes per-dispatch link "
-                "overhead — round-over-round comparable only")
+                "in-graph scan-slope basis (r5): per-dispatch link/drain "
+                "overhead cancelled — directly comparable to "
+                "docs/performance.md step decomposition. The r<=4 *_ms "
+                "keys used an 8-dispatch basis that included ~4-36 ms of "
+                "per-dispatch overhead and are NOT comparable.")
         except Exception as e:
             print(f"# phase breakdown unavailable: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 
-def bench_coach(weights_tag):
-    """e4e Coach training-step throughput (VERDICT r2 item 2): the
-    reference ffhq_encode workload — IR-SE-50 Encoder4Editing + 1024px
-    rosinality decoder, L2 + LPIPS(alex) + ArcFace ID + W-discriminator,
-    Ranger (reference encoder4editing/training/coach.py:105-149). Random
-    init (weights only scale magnitudes, not FLOPs). Baseline: the
-    notebook's "~4 h per network" Colab estimate gives no imgs/s, so
-    vs_baseline uses a documented ~6.7 imgs/s single-V100 e4e estimate
-    (batch 8 ≈ 1.2 s/step) — an estimate, like the other baselines."""
+V100_REFERENCE_COACH_IMGS_PER_SEC = 6.7
+
+
+def _setup_probe():
+    """Build the chained batch-64 synthesis probe standalone (subprocess
+    variants that skip bench_synthesis still bracket with probes)."""
+    import dataclasses
+
+    from stylemc_tpu.models.stylegan2.generator import inference_cfg
+
+    cfg, params, _ = _get_network()
+    cfg = inference_cfg(
+        dataclasses.replace(cfg, low_precision_dtype="bfloat16"))
+    with jax.default_device(_cpu()):
+        z = jax.random.normal(jax.random.PRNGKey(1), (BATCH, cfg.z_dim))
+        styles = w_to_s(params, cfg,
+                        mapping(params, cfg, z, truncation_psi=0.7))
+    styles = jax.device_put(np.asarray(styles), jax.devices()[0])
+    params = jax.device_put(jax.tree_util.tree_map(np.asarray, params),
+                            jax.devices()[0])
+    fn = jax.jit(lambda s: synthesis(params, cfg, s, noise_mode="const"))
+    np.asarray(fn(styles))  # warm
+    _PROBE.update(fn=fn, styles=styles)
+
+
+def _coach_run(opt_kw, iters=10):
+    """Build the reference ffhq_encode Coach workload (batch 4, 1024px,
+    full loss stack) with `opt_kw` CoachOptions overrides and measure:
+    sync ms/step (train_step with per-step loss fetch, two passes, keep
+    the faster) and pipelined ms/step (fetch=False; steps chain on the
+    donated params so the device serializes them, drained by one final
+    fetch — what a production loop with board_interval logging pays)."""
     from stylemc_tpu.models.e4e.encoders import init_encoder_params
     from stylemc_tpu.models.e4e.psp import PSP, PSPConfig
     from stylemc_tpu.models.arcface import init_backbone_params
     from stylemc_tpu.losses.lpips import init_lpips_params
     from stylemc_tpu.train.coach import Coach, CoachOptions
 
-    V100_REFERENCE_COACH_IMGS_PER_SEC = 6.7
     # batch 4: the 16 GB v5e ceiling for this workload (batch-4 step peaks
     # at ~13 GiB with donated param/opt buffers — XLA memory_analysis)
     batch, size = 4, 1024
@@ -674,44 +714,99 @@ def bench_coach(weights_tag):
               decoder_cfg=gen_cfg, decoder_params=to_dev(gen_params),
               latent_avg=jnp.zeros((n_ws, 512)))
     rng = np.random.RandomState(0)
+    # pre-generate the data stream: host-side randn inside the timed loop
+    # would serialize ~10 ms/step of numpy into the measurement (a real
+    # loader prefetches)
+    batches = [(lambda x: (x, x.copy()))(
+        rng.randn(batch, 3, 256, 256).astype(np.float32) * 0.3)
+        for _ in range(iters)]
 
-    def train_iter():
-        x = rng.randn(batch, 3, 256, 256).astype(np.float32) * 0.3
-        return x, x.copy()
-
-    opts = CoachOptions(batch_size=batch, stylegan_size=size,
-                        l2_lambda=1.0, lpips_lambda=0.8, id_lambda=0.1,
-                        w_discriminator_lambda=0.1)
-    coach = Coach(opts, psp, to_dev(perception), train_iter,
-                  test_iter=None)
-    x, y = train_iter()
-    coach.train_step(x, y)               # trace + compile
-    if _PROBE:
-        probe = _wait_clean()
-    else:
-        probe = None
-    iters = 10
+    kw = dict(batch_size=batch, stylegan_size=size,
+              l2_lambda=1.0, lpips_lambda=0.8, id_lambda=0.1,
+              w_discriminator_lambda=0.1)
+    kw.update(opt_kw)
+    coach = Coach(CoachOptions(**kw), psp, to_dev(perception),
+                  lambda: batches[0], test_iter=None)
+    coach.train_step(*batches[0])        # trace + compile
+    probe = _wait_clean() if _PROBE else None
+    out = {}
     best = float("inf")
     for _ in range(2):                    # two passes, keep the faster
         t0 = time.perf_counter()
-        for _ in range(iters):
-            x, y = train_iter()
-            coach.train_step(x, y)        # float extraction syncs
+        for b in batches:
+            coach.train_step(*b)          # float extraction syncs
         best = min(best, (time.perf_counter() - t0) / iters)
-    imgs_per_sec = batch / best
+    out["ms_per_step"] = round(1e3 * best, 1)
+    best_pipe = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for b in batches:
+            last = coach.train_step(*b, fetch=False)
+        jax.device_get(last)              # drains the whole chain
+        best_pipe = min(best_pipe, (time.perf_counter() - t0) / iters)
+    out["pipelined_ms_per_step"] = round(1e3 * best_pipe, 1)
+    if probe is not None:
+        out["contention_probe_ms"] = round(probe, 1)
+        out["probe_clean"] = bool(probe <= _CLEAN_PROBE_MS)
+    return out
+
+
+def bench_coach(weights_tag):
+    """e4e Coach training-step throughput (VERDICT r2 item 2): the
+    reference ffhq_encode workload — IR-SE-50 Encoder4Editing + 1024px
+    rosinality decoder, L2 + LPIPS(alex) + ArcFace ID + W-discriminator,
+    Ranger (reference encoder4editing/training/coach.py:105-149). Random
+    init (weights only scale magnitudes, not FLOPs). Baseline: the
+    notebook's "~4 h per network" Colab estimate gives no imgs/s, so
+    vs_baseline uses a documented ~6.7 imgs/s single-V100 e4e estimate
+    (batch 8 ≈ 1.2 s/step) — an estimate, like the other baselines.
+
+    Emits the fp32 headline plus recommended_config_* companions (the
+    docs-recommended --bf16_full --perception_bf16 training config,
+    measured in a subprocess: consecutive 1024px coaches in one process
+    leave HBM buffers lingering past GC — .bench/coach_variants.py)."""
+    batch = 4
+    out = _coach_run({})
+    imgs_per_sec = batch / (out["ms_per_step"] / 1e3)
     line = {
         "metric": "e4e_coach_1024_imgs_per_sec",
         "value": round(imgs_per_sec, 2),
         "unit": f"imgs/sec (batch {batch}, 1024px decoder, full loss stack)",
         "vs_baseline": round(imgs_per_sec
                              / V100_REFERENCE_COACH_IMGS_PER_SEC, 3),
-        "ms_per_step": round(1e3 * best, 1),
         "weights": weights_tag,
+        **{k: v for k, v in out.items() if k != "probe_clean"},
     }
-    if probe is not None:
-        line["contention_probe_ms"] = round(probe, 1)
-        line["probe_iters"] = _PROBE_ITERS  # r4: 3 → 8 (overhead amortized)
-        line["probe_clean"] = bool(probe <= _CLEAN_PROBE_MS)
+    if "contention_probe_ms" in out:
+        line["probe_iters"] = _PROBE_ITERS
+        line["probe_clean"] = out["probe_clean"]
+    # recommended training config in a fresh process (fresh HBM)
+    if os.environ.get("STYLEMC_BENCH_COACH_RECOMMENDED", "1") != "0":
+        import subprocess
+        env = dict(os.environ)
+        env["STYLEMC_BENCH_COACH_ONLY"] = json.dumps(
+            {"bf16_full": True, "perception_bf16": True})
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               timeout=3600)
+            rec = None
+            for ln in r.stdout.splitlines():
+                if ln.startswith("COACH_ONLY "):
+                    rec = json.loads(ln[len("COACH_ONLY "):])
+            if rec is None:
+                raise RuntimeError(
+                    f"no COACH_ONLY line (rc={r.returncode}): "
+                    f"{r.stderr.strip()[-300:]}")
+            line["recommended_config"] = "--bf16_full --perception_bf16"
+            for k, v in rec.items():
+                line[f"recommended_config_{k}"] = v
+            ms = rec.get("pipelined_ms_per_step") or rec.get("ms_per_step")
+            line["recommended_config_imgs_per_sec"] = round(
+                batch / (ms / 1e3), 2)
+        except Exception as e:
+            print(f"# recommended-config coach variant unavailable: {e}",
+                  file=sys.stderr)
     print(json.dumps(line))
 
 
@@ -753,6 +848,13 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/stylemc_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    coach_only = os.environ.get("STYLEMC_BENCH_COACH_ONLY")
+    if coach_only:
+        # subprocess variant mode (bench_coach recommended-config child):
+        # fresh HBM, own probe bracketing, one machine-readable line
+        _setup_probe()
+        print("COACH_ONLY " + json.dumps(_coach_run(json.loads(coach_only))))
+        return
     probe_s = float(os.environ.get("STYLEMC_BENCH_TPU_PROBE_S", "240"))
     if probe_s > 0 and not _tpu_reachable(probe_s):
         # Pin CPU before ANY device query in this process or the axon

@@ -60,6 +60,11 @@ def _check(report: Dict[str, Any], name: str, fn) -> None:
 @click.command()
 @click.option("--network", type=str, default=None,
               help="NVIDIA persistence .pkl (or native .npz)")
+@click.option("--tf_network", type=str, default=None,
+              help="TF1 (dnnlib.tflib) legacy pickle — exercises the "
+                   "io/tf_legacy.py conversion path (reference "
+                   "legacy.py:110). With no --network, downstream checks "
+                   "run against this network instead.")
 @click.option("--e4e", "e4e_path", type=str, default=None,
               help="e4e/pSp rosinality checkpoint .pt")
 @click.option("--clip_dir", type=str, default=None,
@@ -96,7 +101,8 @@ def _check(report: Dict[str, Any], name: str, fn) -> None:
               help="golden render pass bound (uint8 PSNR, dB)")
 @click.option("--report", "report_path", type=str,
               default="verify_report.json", show_default=True)
-def main(network, e4e_path, clip_dir, arcface_path, inception_path,
+def main(network, tf_network, e4e_path, clip_dir, arcface_path,
+         inception_path,
          deeplab_path, mobilenet_path, golden_renders, write_golden_renders,
          torch_direction, text_prompt, seeds, trunc, fid_samples,
          direction_cosine_threshold, psnr_threshold, report_path):
@@ -122,39 +128,50 @@ def main(network, e4e_path, clip_dir, arcface_path, inception_path,
     state: Dict[str, Any] = {}
 
     # ---------------------------------------------------------- generator
-    if network:
-        def gen_check():
-            from ..io import load_generator
+    def _generator_sanity(path, install):
+        """Load + render sanity for any generator format `load_generator`
+        accepts. install=True makes this the network downstream checks
+        (golden renders, e4e, FID, direction) run against."""
+        from ..io import load_generator
 
-            cfg, params = load_generator(network)
+        cfg, params = load_generator(path)
+        icfg = inference_cfg(cfg)
+        zs = np.concatenate(
+            [np.random.RandomState(s).randn(1, cfg.z_dim)
+             for s in seed_list]).astype(np.float32)
+        ws = mapping_jit(params, icfg, jnp.asarray(zs),
+                         truncation_psi=trunc)
+        styles = w_to_s_jit(params, icfg, ws)
+        imgs = synthesis_jit(params, icfg, styles, noise_mode="const")
+        imgs_u8 = np.asarray(jax.jit(to_u8_nhwc)(imgs))
+        renders_pm1 = np.asarray(imgs, np.float32)
+        if install:
             state["cfg"], state["params"] = cfg, params
-            icfg = inference_cfg(cfg)
-            zs = np.concatenate(
-                [np.random.RandomState(s).randn(1, cfg.z_dim)
-                 for s in seed_list]).astype(np.float32)
-            ws = mapping_jit(params, icfg, jnp.asarray(zs),
-                             truncation_psi=trunc)
-            styles = w_to_s_jit(params, icfg, ws)
             state["styles"] = styles
-            imgs = synthesis_jit(params, icfg, styles, noise_mode="const")
-            imgs_u8 = np.asarray(jax.jit(to_u8_nhwc)(imgs))
             state["renders_u8"] = imgs_u8
-            state["renders_pm1"] = np.asarray(imgs, np.float32)
-            finite = bool(np.isfinite(state["renders_pm1"]).all())
-            spread = float(imgs_u8.astype(np.float32).std())
-            # a real checkpoint renders structured images: every seed
-            # distinct and non-constant
-            distinct = len({imgs_u8[i].tobytes()
-                            for i in range(imgs_u8.shape[0])})
-            return {"resolution": cfg.img_resolution,
-                    "n_params": int(sum(np.size(l) for l in
-                                        jax.tree_util.tree_leaves(params))),
-                    "finite": finite, "uint8_std": round(spread, 2),
-                    "distinct_renders": distinct,
-                    "_ok": finite and spread > 1.0
-                    and distinct == len(seed_list)}
+            state["renders_pm1"] = renders_pm1
+        finite = bool(np.isfinite(renders_pm1).all())
+        spread = float(imgs_u8.astype(np.float32).std())
+        # a real checkpoint renders structured images: every seed
+        # distinct and non-constant
+        distinct = len({imgs_u8[i].tobytes()
+                        for i in range(imgs_u8.shape[0])})
+        return {"resolution": cfg.img_resolution,
+                "n_params": int(sum(np.size(l) for l in
+                                    jax.tree_util.tree_leaves(params))),
+                "finite": finite, "uint8_std": round(spread, 2),
+                "distinct_renders": distinct,
+                "_ok": finite and spread > 1.0
+                and distinct == len(seed_list)}
 
-        _check(report, "generator", gen_check)
+    if network:
+        _check(report, "generator",
+               lambda: _generator_sanity(network, install=True))
+    if tf_network:
+        # the TF1→ADA conversion path; installs as the active network only
+        # when no native --network was supplied
+        _check(report, "tf_generator",
+               lambda: _generator_sanity(tf_network, install=not network))
 
     # ------------------------------------------------------ golden renders
     if golden_renders and "renders_u8" in state:

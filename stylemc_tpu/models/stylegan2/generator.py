@@ -90,6 +90,14 @@ class GeneratorConfig:
     # — enables 1024px / large-batch training on 16 GB chips at the cost of
     # one extra forward. Identical numerics.
     remat: bool = False
+    # selective remat: with remat=True, checkpoint only blocks at
+    # resolution >= remat_min_res (0 = every block, the conservative
+    # default). A 1024 generator's FLOPs sit in the 512-channel LOWER
+    # blocks while its activation bytes sit in the channel-thin UPPER
+    # planes — storing the small low-res activations (skipping their
+    # backward recompute) while still rematerializing the big planes
+    # keeps peak HBM near full-remat at a fraction of the recompute.
+    remat_min_res: int = 0
 
     @property
     def block_resolutions(self) -> List[int]:
@@ -400,7 +408,7 @@ def synthesis(params, cfg: GeneratorConfig, styles, until_k: Optional[int] = Non
 
             blend_here = bool(blend_masks and res in blend_masks
                               and xs_original is not None)
-            if cfg.remat and not blend_here:
+            if cfg.remat and not blend_here and res >= cfg.remat_min_res:
                 # store only each block's (x, img) boundary; recompute the
                 # convs in the backward pass
                 upper_block = jax.checkpoint(upper_block)

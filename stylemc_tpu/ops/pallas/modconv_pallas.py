@@ -483,7 +483,8 @@ _fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
 
 def fused_modulated_layer(x, w, styles, noise, bias, gain=float(np.sqrt(2)),
                           clamp: Optional[float] = 256.0,
-                          mxu: str = "default", force: bool = False):
+                          mxu: str = "default", force: bool = False,
+                          noise_grad: bool = False):
     """Fused modulated-conv synthesis layer (up=1, 3x3, pad 1, demodulate,
     lrelu) — Pallas on TPU, None when the shape/config is not supported
     (caller falls back to the unfused path).
@@ -496,8 +497,13 @@ def fused_modulated_layer(x, w, styles, noise, bias, gain=float(np.sqrt(2)),
     noise_strength, whose gradient callers needing it must take via the
     unfused path. find_direction/coach train styles/encoder/decoder
     weights — noise_strength stays frozen — so this is exact for every
-    shipped training loop.
+    shipped training loop. A caller that DOES differentiate noise (or
+    noise_strength through a scaled-noise input) must pass
+    noise_grad=True, which declines the fused path (returns None) instead
+    of silently returning a zero cotangent.
     """
+    if noise_grad:
+        return None  # fused bwd zeroes d(noise) — caller needs the real one
     n, ci, h, w_sp = x.shape
     co = w.shape[0]
     ok = (

@@ -311,8 +311,12 @@ class BatchEditor:
         all (otherwise the first POST /edit_image pays the encoder
         trace+compile in-request)."""
         step = min(self.pipeline_chunk or self.buckets[-1], self.buckets[-1])
+        # chunks of size `step` render through the bucket step pads up to
+        # (_bucket), which may exceed step itself when pipeline_chunk is not
+        # a bucket size (e.g. chunk 24 → bucket 32) — warm through it
+        top = self._bucket(step)
         for b in self.buckets:
-            if b > step:
+            if b > top:
                 break
             s = jnp.zeros((b, N_STYLE_CHANNELS, STYLE_DIM), jnp.float32)
             self.edit_styles(s, change_power=0.0)

@@ -100,6 +100,27 @@ class CoachOptions:
     # fp32. Measured +~10% alone; the step is decoder-dominated
     # (per-phase attribution, docs/performance.md).
     encoder_bf16: bool = False
+    # Fuse the W-discriminator phase (latent sampling + D update + lazy
+    # R1) and the encoder update into ONE jit dispatch per train_step.
+    # The unfused path pays 3 dispatches + eager slices + a separate x
+    # transfer per step — ~100 ms of link/composition overhead on a
+    # tunneled runtime for a ~3 ms discriminator graph (the r4 "non-tower
+    # residue", docs/performance.md). Numerics match the unfused path
+    # (same op sequence: D trains first, encoder sees the updated D —
+    # reference coach.py:105-149; pinned by
+    # test_coach_fused_d_step_matches_unfused). Automatically falls back
+    # to the unfused path when use_w_pool (host-side pool) is on.
+    fuse_d_step: bool = True
+    # selective decoder remat: with the remat decoder cfg, checkpoint only
+    # blocks at resolution >= this (0 = all blocks). See
+    # GeneratorConfig.remat_min_res.
+    remat_min_res: int = 0
+    # fetch losses to the host every N steps (1 = every step, reference
+    # parity). N>1 lets back-to-back steps pipeline on the device — the
+    # loop only pays a host round-trip on fetch steps; board/save/val/
+    # final steps always fetch so logging and checkpoint cadence are
+    # unchanged. Callbacks fire only on fetch steps when N>1.
+    fetch_every: int = 1
 
     def __post_init__(self):
         if self.progressive_start is not None:
@@ -120,8 +141,10 @@ class Coach:
 
     Buffer-donation contract: train_step donates (trainable params, optimizer
     state) into the jit — the ~4 GiB saving that fits FFHQ-1024 batch 4 on a
-    16 GB chip. Two consequences for callers: (a) any reference held to
-    pre-training encoder/decoder params (or opt state) is INVALIDATED after
+    16 GB chip; the fused W-D step additionally donates (discriminator
+    params, d_opt_state). Two consequences for callers: (a) any reference
+    held to pre-training encoder/decoder/discriminator params (or opt
+    state) is INVALIDATED after
     the first step — copy before training if you need the originals; (b) a
     step that fails at execute time (e.g. a transient device OOM) leaves
     self.psp/self.opt_state pointing at already-donated buffers, making this
@@ -133,6 +156,9 @@ class Coach:
                  train_iter: Callable, test_iter: Optional[Callable] = None,
                  arcface_layout=None, mesh=None):
         self.opts = opts
+        if opts.remat_min_res > 0 and psp.decoder_cfg.remat:
+            psp = dataclasses.replace(psp, decoder_cfg=dataclasses.replace(
+                psp.decoder_cfg, remat_min_res=opts.remat_min_res))
         if opts.bf16 or opts.bf16_full:
             dec_cfg = dataclasses.replace(
                 psp.decoder_cfg, low_precision_dtype="bfloat16")
@@ -182,6 +208,7 @@ class Coach:
         self._step_cache: Dict[int, Callable] = {}
         self._d_step_cache: Dict[bool, Callable] = {}
         self._sample_cache: Dict[int, Callable] = {}
+        self._fused_cache: Dict[Any, Callable] = {}
         self._rng = np.random.RandomState(opts.seed)
 
     # ------------------------------------------------------------- plumbing
@@ -411,6 +438,102 @@ class Coach:
         self._d_step_cache[regularize] = d_step
         return d_step
 
+    def _get_fused_step_fn(self, stage: int):
+        """ONE jit dispatch for the full W-discriminator train step:
+        latent sampling (decoder mapping + encoder forward) → D update →
+        lazy R1 (lax.cond on a traced flag, so one executable serves both
+        step kinds) → encoder update against the UPDATED discriminator.
+
+        Same op sequence as the unfused 3-dispatch path (the reference
+        trains D first each step — coach.py:105-149); equivalence pinned
+        by test_coach_fused_d_step_matches_unfused. On a tunneled runtime
+        the unfused path paid ~2 extra dispatches + eager latent slices +
+        a duplicate x transfer per step — the bulk of the measured
+        ~125 ms/step W-D overhead for a ~3 ms discriminator graph."""
+        if stage in self._fused_cache:
+            return self._fused_cache[stage]
+        opts = self.opts
+        cfg = self.psp.cfg
+        dec_cfg = self.psp.decoder_cfg
+        use_avg = (cfg.start_from_latent_avg
+                   and self.psp.latent_avg is not None)
+
+        def _fused_fn(trainable, opt_state, disc_params, d_opt_state,
+                      x, y, z, latent_avg, do_r1, frozen):
+            # --- D phase (fake w from the CURRENT encoder, stop-grad) ---
+            dec_params = trainable.get("decoder", frozen["decoder"])
+            real_w = gen_mapping(dec_params, dec_cfg, z)[:, 0, :]
+            codes = self._encoder_forward(trainable["encoder"], x, stage)
+            if use_avg:
+                codes = codes + latent_avg[None].astype(codes.dtype)
+            real_w = jax.lax.stop_gradient(real_w.astype(jnp.float32))
+            fake_w = jax.lax.stop_gradient(codes[:, 0, :].astype(jnp.float32))
+            (d_loss, (rl, fl)), d_grads = jax.value_and_grad(
+                self._d_loss, has_aux=True)(disc_params, real_w, fake_w)
+            d_updates, d_opt_state = self.d_optimizer.update(
+                d_grads, d_opt_state, disc_params)
+            disc_params = optax.apply_updates(disc_params, d_updates)
+
+            def _r1(args):
+                dp, dos = args
+                g = jax.grad(lambda w: jnp.sum(
+                    discriminator_apply(dp, w)))(real_w)
+                r1 = jnp.mean(jnp.sum(
+                    jnp.square(g).reshape(real_w.shape[0], -1), axis=1))
+                r1_loss = opts.r1 / 2 * r1 * opts.d_reg_every
+
+                def r1_obj(dpp):
+                    gg = jax.grad(lambda w: jnp.sum(
+                        discriminator_apply(dpp, w)))(real_w)
+                    pen = jnp.mean(jnp.sum(
+                        jnp.square(gg).reshape(real_w.shape[0], -1), axis=1))
+                    return opts.r1 / 2 * pen * opts.d_reg_every
+
+                r1_grads = jax.grad(r1_obj)(dp)
+                upd, dos = self.d_optimizer.update(r1_grads, dos, dp)
+                return optax.apply_updates(dp, upd), dos, r1_loss
+
+            disc_params, d_opt_state, r1_loss = jax.lax.cond(
+                do_r1, _r1, lambda a: (a[0], a[1], jnp.float32(0.0)),
+                (disc_params, d_opt_state))
+            d_dict = {"discriminator_loss": d_loss, "d_real_loss": rl,
+                      "d_fake_loss": fl, "discriminator_r1_loss": r1_loss}
+
+            # --- encoder phase, against the updated discriminator ---
+            (loss, (loss_dict, y_hat, latent)), grads = jax.value_and_grad(
+                self._calc_loss, has_aux=True)(trainable, x, y, stage,
+                                               disc_params, frozen)
+            updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                       trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return (trainable, opt_state, disc_params, d_opt_state,
+                    {**d_dict, **loss_dict}, y_hat, latent)
+
+        if self.mesh is not None:
+            rep, dat = self._rep_sh, self._data_sh
+            fused = jax.jit(_fused_fn, donate_argnums=(0, 1, 2, 3),
+                            in_shardings=(rep, rep, rep, rep, dat, dat,
+                                          dat, rep, rep, rep))
+        else:
+            fused = jax.jit(_fused_fn, donate_argnums=(0, 1, 2, 3))
+
+        self._fused_cache[stage] = fused
+        return fused
+
+    def _encoder_forward(self, enc_params, x, stage: int):
+        """Raw encoder forward (no latent_avg), dispatched by encoder_type.
+        Used by the D-phase latent sampling — always fp32 params, matching
+        the reference's discriminator sampling path."""
+        cfg = self.psp.cfg
+        if cfg.encoder_type == "Encoder4Editing":
+            return encoder4editing(enc_params, x, cfg.stylegan_size,
+                                   stage, layout=cfg.encoder_layout)
+        if cfg.encoder_type == "GradualStyleEncoder":
+            return gradual_style_encoder(enc_params, x, cfg.stylegan_size,
+                                         layout=cfg.encoder_layout)
+        return backbone_encoder_into_w(enc_params, x, cfg.stylegan_size,
+                                       layout=cfg.encoder_layout)
+
     def _get_sample_fn(self, stage: int):
         """One jit for the real/fake W sampling (decoder mapping + encoder
         forward). The previous eager path dispatched every op individually —
@@ -422,19 +545,9 @@ class Coach:
         use_avg = (cfg.start_from_latent_avg
                    and self.psp.latent_avg is not None)
 
-        def _encode(enc_params, x):
-            if cfg.encoder_type == "Encoder4Editing":
-                return encoder4editing(enc_params, x, cfg.stylegan_size,
-                                       stage, layout=cfg.encoder_layout)
-            if cfg.encoder_type == "GradualStyleEncoder":
-                return gradual_style_encoder(enc_params, x, cfg.stylegan_size,
-                                             layout=cfg.encoder_layout)
-            return backbone_encoder_into_w(enc_params, x, cfg.stylegan_size,
-                                           layout=cfg.encoder_layout)
-
         def _sample_fn(dec_params, enc_params, latent_avg, z, x):
             real_w = gen_mapping(dec_params, dec_cfg, z)[:, 0, :]
-            codes = _encode(enc_params, x)
+            codes = self._encoder_forward(enc_params, x, stage)
             if use_avg:
                 codes = codes + latent_avg[None].astype(codes.dtype)
             return real_w, codes
@@ -483,22 +596,57 @@ class Coach:
 
     # ------------------------------------------------------------ main loop
 
-    def train_step(self, x, y) -> Dict[str, float]:
-        d_dict = {}
-        if self.is_training_discriminator():
-            d_dict = self.train_discriminator(x)
-        step = self._get_step_fn(self.progressive_stage())
-        trainable = self._trainable()
-        trainable, self.opt_state, enc_dict, y_hat, latent = step(
-            trainable, self.opt_state, jnp.asarray(x), jnp.asarray(y),
-            self.discriminator_params)
-        self._install(trainable)
+    def train_step(self, x, y, fetch: bool = True) -> Dict[str, float]:
+        """One optimization step. fetch=False returns the loss dict as
+        DEVICE scalars instead of floats: back-to-back steps then pipeline
+        on the device without a per-step host round-trip (each step's
+        donated params chain it after the previous one, so throughput
+        timing stays honest); call jax.device_get on the returned dict
+        when the losses are actually needed (e.g. at board_interval)."""
+        stage = self.progressive_stage()
+        regularize = (self.is_training_discriminator()
+                      and self.global_step % self.opts.d_reg_every == 0)
+        if (self.opts.fuse_d_step and self.is_training_discriminator()
+                and not self.opts.use_w_pool):
+            fused = self._get_fused_step_fn(stage)
+            z = jnp.asarray(self._rng.randn(x.shape[0], 512), jnp.float32)
+            latent_avg = (self.psp.latent_avg
+                          if self.psp.latent_avg is not None
+                          else jnp.zeros((1, 512)))
+            frozen_dec = (jnp.zeros((), jnp.float32)
+                          if self.opts.train_decoder
+                          else self.psp.decoder_params)
+            frozen = {"decoder": frozen_dec, "perception": self.perception}
+            trainable = self._trainable()
+            (trainable, self.opt_state, self.discriminator_params,
+             self.d_opt_state, merged, _y_hat, _latent) = fused(
+                trainable, self.opt_state, self.discriminator_params,
+                self.d_opt_state, jnp.asarray(x), jnp.asarray(y), z,
+                latent_avg, jnp.asarray(regularize), frozen)
+            self._install(trainable)
+        else:
+            d_dict = {}
+            if self.is_training_discriminator():
+                d_dict = self.train_discriminator(x)
+            step = self._get_step_fn(stage)
+            trainable = self._trainable()
+            trainable, self.opt_state, enc_dict, y_hat, latent = step(
+                trainable, self.opt_state, jnp.asarray(x), jnp.asarray(y),
+                self.discriminator_params)
+            self._install(trainable)
+            merged = {**d_dict, **enc_dict}
+        self.global_step += 1
+        if not fetch:
+            return merged
         # ONE device→host transfer for D + encoder losses together:
         # per-dict (let alone per-scalar) fetches each pay a tunnel
         # round-trip on remote runtimes
-        merged = jax.device_get({**d_dict, **enc_dict})
-        loss_dict = {k: float(v) for k, v in merged.items()}
-        self.global_step += 1
+        got = jax.device_get(merged)
+        loss_dict = {k: float(v) for k, v in got.items()}
+        if not regularize:
+            # the fused executable reports r1 as 0.0 on non-reg steps; the
+            # unfused path (and the reference) omits the key — match that
+            loss_dict.pop("discriminator_r1_loss", None)
         return loss_dict
 
     def train(self, callback: Optional[Callable] = None,
@@ -509,8 +657,16 @@ class Coach:
         (coach.py:133-135)."""
         while self.global_step < self.opts.max_steps:
             x, y = self.train_iter()
-            loss_dict = self.train_step(x, y)
-            if callback is not None:
+            step_no = self.global_step + 1  # train_step increments
+            fetch = (self.opts.fetch_every <= 1
+                     or step_no % self.opts.fetch_every == 0
+                     or step_no % self.opts.board_interval == 0
+                     or step_no % self.opts.save_interval == 0
+                     or step_no >= self.opts.max_steps
+                     or (self.test_iter is not None
+                         and step_no % self.opts.val_interval == 0))
+            loss_dict = self.train_step(x, y, fetch=fetch)
+            if callback is not None and fetch:
                 callback(self.global_step, loss_dict)
             if self.test_iter is not None and \
                     self.global_step % self.opts.val_interval == 0:

@@ -315,6 +315,102 @@ def test_coach_train_decoder_donation():
 
 
 @pytest.mark.slow
+def test_coach_fused_d_step_matches_unfused():
+    """The fused single-dispatch W-D step (fuse_d_step=True, the default)
+    must reproduce the unfused 3-dispatch path exactly: same loss dicts,
+    same trained params, across both regularized (lazy R1) and plain D
+    steps. d_reg_every=2 makes steps 0 and 2 R1 steps."""
+    gen_cfg = GeneratorConfig(img_resolution=256, channel_base=512,
+                              channel_max=32, mapping_layers=2,
+                              conv_clamp=None)
+    gen_params = init_generator_params(jax.random.PRNGKey(0), gen_cfg)
+    enc_params = init_encoder_params(jax.random.PRNGKey(1), stylegan_size=256,
+                                     layout=TINY_E4E_LAYOUT)
+    perception = {"lpips": init_lpips_params(jax.random.PRNGKey(2), "alex"),
+                  "arcface": tiny_arcface()}
+    rng_batches = np.random.RandomState(7)
+    batches = [rng_batches.randn(2, 3, 256, 256).astype(np.float32) * 0.3
+               for _ in range(3)]
+
+    def make(fused):
+        # fresh buffers per coach: train_step donates trainable AND (on the
+        # fused path) discriminator state
+        psp = PSP(cfg=PSPConfig(stylegan_size=256,
+                                encoder_layout=TINY_E4E_LAYOUT),
+                  encoder_params=jax.tree_util.tree_map(jnp.array,
+                                                        enc_params),
+                  decoder_cfg=gen_cfg,
+                  decoder_params=jax.tree_util.tree_map(jnp.array,
+                                                        gen_params),
+                  latent_avg=jnp.zeros((14, 512)))
+        opts = CoachOptions(batch_size=2, max_steps=3, stylegan_size=256,
+                            w_discriminator_lambda=0.1, id_lambda=0.1,
+                            lpips_lambda=0.8, l2_lambda=1.0, d_reg_every=2,
+                            fuse_d_step=fused)
+        return Coach(opts, psp, perception, lambda: None, test_iter=None,
+                     arcface_layout=TINY_ARCFACE_LAYOUT)
+
+    ca, cb = make(True), make(False)
+    for i, x in enumerate(batches):
+        da = ca.train_step(x, x.copy())
+        db = cb.train_step(x, x.copy())
+        assert set(da) == set(db), (i, set(da) ^ set(db))
+        for k in da:
+            np.testing.assert_allclose(da[k], db[k], rtol=2e-4, atol=1e-5,
+                                       err_msg=f"step {i} key {k}")
+        assert ("discriminator_r1_loss" in da) == (i % 2 == 0), (i, da)
+    for la, lb in zip(jax.tree_util.tree_leaves(ca.psp.encoder_params),
+                      jax.tree_util.tree_leaves(cb.psp.encoder_params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-4, atol=1e-5)
+    for la, lb in zip(
+            jax.tree_util.tree_leaves(ca.discriminator_params),
+            jax.tree_util.tree_leaves(cb.discriminator_params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_coach_selective_remat_matches_full():
+    """remat_min_res stores the low-res blocks' activations instead of
+    rematerializing them — identical numerics to full remat by
+    construction; pin the first train step's losses."""
+    gen_cfg = GeneratorConfig(img_resolution=256, channel_base=512,
+                              channel_max=32, mapping_layers=2,
+                              conv_clamp=None, remat=True)
+    gen_params = init_generator_params(jax.random.PRNGKey(0), gen_cfg)
+    enc_params = init_encoder_params(jax.random.PRNGKey(1), stylegan_size=256,
+                                     layout=TINY_E4E_LAYOUT)
+    perception = {"lpips": init_lpips_params(jax.random.PRNGKey(2), "alex"),
+                  "arcface": tiny_arcface()}
+    x = np.random.RandomState(3).randn(2, 3, 256, 256).astype(np.float32) * 0.3
+
+    def run(min_res):
+        psp = PSP(cfg=PSPConfig(stylegan_size=256,
+                                encoder_layout=TINY_E4E_LAYOUT),
+                  encoder_params=jax.tree_util.tree_map(jnp.array,
+                                                        enc_params),
+                  decoder_cfg=gen_cfg,
+                  decoder_params=jax.tree_util.tree_map(jnp.array,
+                                                        gen_params),
+                  latent_avg=jnp.zeros((14, 512)))
+        opts = CoachOptions(batch_size=2, max_steps=1, stylegan_size=256,
+                            w_discriminator_lambda=0.1, id_lambda=0.1,
+                            lpips_lambda=0.8, l2_lambda=1.0,
+                            remat_min_res=min_res)
+        coach = Coach(opts, psp, perception, lambda: None, test_iter=None,
+                      arcface_layout=TINY_ARCFACE_LAYOUT)
+        assert coach.psp.decoder_cfg.remat_min_res == min_res
+        return coach.train_step(x, x.copy())
+
+    d_full, d_sel = run(0), run(64)
+    assert set(d_full) == set(d_sel)
+    for k in d_full:
+        np.testing.assert_allclose(d_full[k], d_sel[k], rtol=1e-5,
+                                   atol=1e-7, err_msg=k)
+
+
+@pytest.mark.slow
 def test_coach_checkpoint_roundtrip(tiny_coach, tmp_path):
     coach = tiny_coach
     path = str(tmp_path / "ckpt.pkl")

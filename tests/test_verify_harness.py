@@ -44,9 +44,32 @@ def weight_files(tmp_path_factory):
     inception = os.path.join(d, "pt_inception_fabricated.pth")
     torch.save(minc.state_dict(), inception)
 
+    # TF1 legacy pickle (the one importer format the harness didn't cover
+    # through r4 — VERDICT r4 item 6)
+    import pickle
+
+    from test_tf_legacy import (_install_fake_tflib, fabricate_tf_generator,
+                                fabricate_tf_discriminator)
+    from stylemc_tpu.models.stylegan2.discriminator import (
+        init_discriminator_params)
+
+    Network = _install_fake_tflib()
+    tf_cfg = GeneratorConfig(img_resolution=RES, channel_base=2048,
+                             channel_max=64, mapping_layers=2,
+                             conv_clamp=None, num_fp16_res=0)
+    tf_params = init_generator_params(jax.random.PRNGKey(4), tf_cfg)
+    tf_G = fabricate_tf_generator(Network, tf_cfg, tf_params)
+    tf_D = fabricate_tf_discriminator(
+        Network, RES, init_discriminator_params(jax.random.PRNGKey(5),
+                                                size=RES))
+    tf_pkl = os.path.join(d, "tf_net.pkl")
+    with open(tf_pkl, "wb") as f:
+        pickle.dump((tf_G, tf_D, tf_G), f)
+
     return {
         "dir": d,
         "network": pkl,
+        "tf_network": tf_pkl,
         "e4e": fabricate_e4e_pt(os.path.join(d, "e4e.pt"),
                                 stylegan_size=RES),
         "clip_dir": fabricate_clip_dir(os.path.join(d, "clip"),
@@ -70,7 +93,8 @@ def test_verify_harness_end_to_end(weight_files):
 
     runner = CliRunner()
     r = runner.invoke(verify, [
-        "--network", w["network"], "--e4e", w["e4e"],
+        "--network", w["network"], "--tf_network", w["tf_network"],
+        "--e4e", w["e4e"],
         "--clip_dir", w["clip_dir"], "--arcface", w["arcface"],
         "--inception", w["inception"],
         "--seeds", "0-3", "--fid_samples", "8",
@@ -82,8 +106,8 @@ def test_verify_harness_end_to_end(weight_files):
     with open(report_path) as f:
         report = json.load(f)
     assert report["all_ok"], report
-    for check in ("generator", "clip", "arcface", "e4e", "inception",
-                  "fid_sanity"):
+    for check in ("generator", "tf_generator", "clip", "arcface", "e4e",
+                  "inception", "fid_sanity"):
         assert check in report["checks"], sorted(report["checks"])
         assert report["checks"][check]["ok"], report["checks"][check]
     assert os.path.exists(golden)
