@@ -49,7 +49,12 @@ probe_fn = jax.jit(lambda s: synthesis(p_params, p_cfg, s,
 
 def probe_ms(iters=8):
     x = p_styles
-    np.asarray(probe_fn(x))  # warm
+    # re-warm + discard one chained pass first: the first probe dispatch
+    # after a large foreign workload pays a one-time executable-reload /
+    # HBM-churn cost that is NOT contention (observed: 232-238 ms "pre"
+    # probes bracketing a visibly clean 2.58 s loop, twice)
+    y = x + 0 * jnp.mean(probe_fn(x))
+    float(jnp.sum(y))
     t0 = time.perf_counter()
     for _ in range(iters):
         x = x + 0 * jnp.mean(probe_fn(x))
@@ -81,25 +86,34 @@ def main():
                               clip_type="double", steps_per_dispatch=8,
                               perception_dtype="bfloat16")
 
-    def run():
+    def run(st):
         t0 = time.perf_counter()
-        d, info = find_direction(params, cfg, styles, clip_models, arcface,
+        d, info = find_direction(params, cfg, st, clip_models, arcface,
                                  fdc, tokenizer=FallbackTokenizer())
-        jax.block_until_ready(d)
-        return time.perf_counter() - t0, info
+        float(jnp.sum(d))              # REAL drain (block_until_ready is
+        return time.perf_counter() - t0, info  # launch-bound on axon)
 
-    wall, info = run()                 # cold: compile
+    # two workload lengths (16 vs 48 seeds → 16 vs 48 steps, same graphs):
+    # the slope cancels the per-call constant (trace-cache hit, executable
+    # load, feature precompute) that a single short run folds into ms/step
+    styles48 = np.concatenate([styles, styles, styles], axis=0)
+    wall, info = run(styles)           # cold: compile
     print(f"cold: {wall:.1f}s, steps {info['iterations']}", flush=True)
+    run(styles48)                      # warm both shapes' precompute
     pre = probe_ms()
-    wall, info = run()                 # warm measured pass
+    wall16, info16 = run(styles)
+    wall48, info48 = run(styles48)
     post = probe_ms()
-    steady = info.get("steady_ms_per_step")
+    s16, s48 = info16["iterations"], info48["iterations"]
+    slope = 1e3 * (info48["time"] - info16["time"]) / (s48 - s16)
     print(f"probe before/after: {pre:.1f} / {post:.1f} ms "
           f"(clean band <=66)", flush=True)
-    print(f"1024px warm: loop {info['time']:.2f}s over "
-          f"{info['iterations']} steps = "
-          f"{1e3 * info['time'] / info['iterations']:.0f} ms/step; "
-          f"steady_ms_per_step={steady}", flush=True)
+    print(f"1024px warm: loop16 {info16['time']:.2f}s/{s16} steps "
+          f"({1e3 * info16['time'] / s16:.0f} ms/step incl. call const), "
+          f"loop48 {info48['time']:.2f}s/{s48} steps "
+          f"({1e3 * info48['time'] / s48:.0f} ms/step)", flush=True)
+    print(f"steady (slope, call-const cancelled): {slope:.1f} ms/step",
+          flush=True)
     print(f"clean: {bool(pre <= 66 and post <= 66)}")
 
 

@@ -13,6 +13,23 @@ IDENTICALLY against any revision in the 040cab6..HEAD span (the API
 subset here is stable across it), so the figure can be bisected — or the
 old figure shown to be a different workload.
 
+RESOLVED (r5, 2026-08-21). Measured on-TPU with this harness:
+  040cab6 (round-2 code): mean 0.9917 min 0.9902, direction norms ~28
+  HEAD                  : mean 0.5689 min 0.3936, direction norms ~13
+Bisection over the span (same harness per worktree) flips at **cbdef49**
+("Fix mapping init: store fc weights as randn/lr_multiplier"): before
+the fix the fabricated network collapsed EVERY z to one w — measured
+styles cross-seed std exactly 0.0 — so the r2 "different batch streams"
+trained on identical data (loss flat at ~1.672 for every batch) and
+agreed trivially. The honest post-fix band on random-CLIP weights is
+0.57-0.66; bench.py gates it on mean>=0.45 AND min>=0.30 alongside the
+golden-direction tripwire.
+
+Pitfall that cost an hour: run comparison snippets as a FILE from /tmp,
+not `python -` heredocs — for stdin scripts sys.path[0] is the CWD, so
+a /root/repo CWD shadows the worktree's PYTHONPATH and both arms
+silently import HEAD.
+
 Usage:
   PYTHONPATH=<rev_worktree>:/root/.axon_site python xseed_ab.py [n_seeds]
 """

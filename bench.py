@@ -448,6 +448,35 @@ def bench_find_direction(cfg, params, weights_tag):
         print(f"# bf16 reference-precision variant unavailable: {e}",
               file=sys.stderr)
 
+    # direction-zoo P=4 batched-prompt config (VERDICT r4 item 4): the
+    # prompt axis is the documented way to fill the chip past the
+    # reference's batch-4 occupancy floor; the on-chip sweep
+    # (.bench/zoo_psweep.py, 2026-08-21, clean probes) reads per-direction
+    # wall 9.14 s (P=1) → 5.65 (P=4) → 5.61 (P=8): ~1.6× throughput at
+    # P=4, chip saturated beyond. Gated: STYLEMC_BENCH_ZOO=0 skips.
+    if os.environ.get("STYLEMC_BENCH_ZOO", "1") != "0":
+        try:
+            from stylemc_tpu.train.find_direction import DirectionEngine
+
+            eng = DirectionEngine(params, cfg, np.asarray(styles),
+                                  clip_models, arcface, fdc,
+                                  tokenizer=tokenizer)
+            prompts = [fdc.text_prompt, "a face with a big smile",
+                       "an old face with wrinkles",
+                       "a face with curly hair"]
+            eng.optimize_batch(prompts)            # compile
+            if _PROBE:
+                _wait_clean()
+            t0 = time.perf_counter()
+            _, zinfo = eng.optimize_batch(prompts)
+            zwall = time.perf_counter() - t0
+            out["zoo_p4_wall_sec"] = round(zwall, 2)
+            out["zoo_p4_per_direction_sec"] = round(zwall / 4, 2)
+            out["zoo_p4_steady_ms_per_step"] = round(
+                zinfo["steady_ms_per_step"], 1)
+        except Exception as e:
+            print(f"# zoo P=4 variant unavailable: {e}", file=sys.stderr)
+
     # Direction quality, not just speed (VERDICT r2 item 6): re-run the
     # fp32 optimization with a different batch-sampling seed and report
     # the per-channel cosine between the two directions (PARITY's
@@ -473,20 +502,28 @@ def bench_find_direction(cfg, params, weights_tag):
         cosines = _dir_cosines(direction, d1)
         if cosines:
             # Measured band on these fabricated weights: mean 0.57-0.66
-            # over 3 seed pairs (2026-08-20). Under the reference's
-            # cosine-decay LR (find_direction.py:297-301) the final
-            # direction is dominated by the early large-lr steps, so
-            # cross-seed agreement is genuinely moderate — PARITY's old
-            # 0.986-1.0 figure predates mirroring that schedule. The
+            # (deterministically 0.5689/min 0.3936 for this seed pair,
+            # r3-r5). ROOT-CAUSED in r5 (.bench/xseed_ab.py bisection):
+            # PARITY r2's old 0.986-1.0 figure was an artifact of the
+            # pre-cbdef49 mapping-init bug — the fabricated network
+            # collapsed every z to ONE w (styles cross-seed std exactly
+            # 0.0), so "different batch streams" trained on identical
+            # data and agreed trivially. cbdef49 (the r3 fix) made seeds
+            # genuinely diverge; on random-CLIP weights different batch
+            # subsets then honestly descend toward moderately different
+            # directions. (r4's LR-schedule hypothesis was tested and
+            # refuted: constant-LR reads the same 0.57 band.) The
             # tracked contract: a numerics regression (NaN, sign flip,
-            # broken loss) collapses the cosine; alert below 0.45.
+            # broken loss, single-channel-family collapse) trips the
+            # mean or the min alert below.
             out["direction_repeatability_cosine_mean"] = round(
                 float(np.mean(cosines)), 4)
             out["direction_repeatability_cosine_min"] = round(
                 min(cosines), 4)
             out["direction_repeatability_alert_below"] = 0.45
+            out["direction_repeatability_min_alert_below"] = 0.30
             out["direction_repeatability_pass"] = bool(
-                np.mean(cosines) >= 0.45)
+                np.mean(cosines) >= 0.45 and min(cosines) >= 0.30)
     except Exception as e:
         print(f"# repeatability check unavailable: {e}", file=sys.stderr)
 
@@ -519,10 +556,11 @@ def bench_find_direction(cfg, params, weights_tag):
     #     STYLEMC_BENCH_WRITE_GOLDEN=1.
     #     NOTE a constant-LR cross-seed run was measured as the alternative
     #     tripwire and REFUTED: cosine mean 0.5654 (seeds 0/1, 2026-08-20)
-    #     — the same band as the faithful cosine-LR schedule's 0.5689, so
-    #     PARITY's LR-schedule explanation of moderate cross-seed agreement
-    #     was wrong; on fabricated (random-CLIP) weights different batch
-    #     streams genuinely descend toward different directions.
+    #     — the same band as the faithful cosine-LR schedule's 0.5689.
+    #     The r5 bisection then found the actual cause of the old 0.986
+    #     figure (see the repeatability comment above): the pre-cbdef49
+    #     mapping-collapse bug made every seed identical, so the old
+    #     measurement compared runs over the same data.
     golden_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".bench", "golden_direction_fp32.npz")
     try:
@@ -562,25 +600,34 @@ def bench_find_direction(cfg, params, weights_tag):
                 gp, cfg, s, until_k=until_k, noise_mode="const"))(params, bs)
             jax.block_until_ready(img)
 
-            def chained_ms(fn, *args, k_lo=2, k_hi=12, iters=4):
-                """IN-GRAPH per-iteration time: the fn is chained k times
-                under lax.scan inside ONE jit; the slope between a short
-                and a long chain cancels the per-dispatch link/drain
-                constant. The r≤4 basis (8 separate dispatches/phase)
-                carried that constant in full — ArcFace read ~40 ms where
-                its in-graph cost is 2-4 ms (VERDICT r4 weak #5); these
-                figures are directly comparable to the
-                .bench/step_breakdown.py / docs/performance.md numbers."""
-                leaves, treedef = jax.tree_util.tree_flatten(args)
+            def chained_ms(fn, vary, *consts, k_lo=2, k_hi=12, iters=4):
+                """IN-GRAPH per-iteration time: fn(vary, *consts) is
+                chained k times under lax.scan inside ONE jit; the slope
+                between a short and a long chain cancels the per-dispatch
+                link/drain constant. The r≤4 basis (8 separate
+                dispatches/phase) carried that constant in full — ArcFace
+                read ~40 ms where its in-graph cost is 2-4 ms (VERDICT r4
+                weak #5); these figures are directly comparable to the
+                .bench/step_breakdown.py / docs/performance.md numbers.
+
+                `vary` MUST be the input that feeds the whole graph (the
+                styles/image batch): every one of its leaves gets the
+                loop carry added, which defeats XLA loop-invariant
+                hoisting. (Perturbing only the first leaf of a params
+                pytree let XLA hoist the entire body out of the scan —
+                a synthesis slope read ~0 and an encoder slope read
+                NEGATIVE in the first version of this harness.)"""
+                vleaves, vdef = jax.tree_util.tree_flatten(vary)
+                cleaves, cdef = jax.tree_util.tree_flatten(consts)
 
                 def make(k):
                     @jax.jit
-                    def chained(carry, *lvs):
+                    def chained(carry, vls, cls):
                         def body(c, _):
-                            l2 = ((lvs[0] + c.astype(lvs[0].dtype),)
-                                  + tuple(lvs[1:]))
-                            o = fn(*jax.tree_util.tree_unflatten(treedef,
-                                                                 l2))
+                            v2 = [l + c.astype(l.dtype) for l in vls]
+                            o = fn(jax.tree_util.tree_unflatten(vdef, v2),
+                                   *jax.tree_util.tree_unflatten(cdef,
+                                                                 cls))
                             first = jax.tree_util.tree_leaves(o)[0]
                             return (first.ravel()[0].astype(jnp.float32)
                                     * 1e-20), None
@@ -592,11 +639,11 @@ def bench_find_direction(cfg, params, weights_tag):
                 for k in (k_lo, k_hi):
                     ch = make(k)
                     carry = jnp.float32(0.0)
-                    carry = ch(carry, *leaves)   # compile
+                    carry = ch(carry, vleaves, cleaves)   # compile
                     jax.block_until_ready(carry)
                     t0 = time.perf_counter()
                     for _ in range(iters):
-                        carry = ch(carry, *leaves)
+                        carry = ch(carry, vleaves, cleaves)
                     float(carry)
                     per_call[k] = (time.perf_counter() - t0) / iters
                 return (1e3 * (per_call[k_hi] - per_call[k_lo])
@@ -605,21 +652,21 @@ def bench_find_direction(cfg, params, weights_tag):
             def run_phases():
                 phases = {}
                 phases["synthesis_fwd_bwd_ingraph_ms"] = chained_ms(
-                    lambda gp, s: jax.grad(lambda ss: jnp.sum(jnp.square(
+                    lambda s, gp: jax.grad(lambda ss: jnp.sum(jnp.square(
                         synthesis(gp, cfg, ss, until_k=until_k,
-                                  noise_mode="const"))))(s), params, bs)
+                                  noise_mode="const"))))(s), bs, params)
                 for name, key in (("ViT-B/32", "clip_b32_fwd_bwd_ingraph_ms"),
                                   ("ViT-B/16", "clip_b16_fwd_bwd_ingraph_ms")):
                     b = [x for x in bundles
                          if x.cfg is clip_models[name][0]][0]
                     phases[key] = chained_ms(
-                        lambda cp, im, b=b: jax.grad(lambda i: jnp.sum(
+                        lambda im, cp, b=b: jax.grad(lambda i: jnp.sum(
                             _clip_image_features(b, i, "default",
                                                  clip_params=cp)))(im),
-                        clip_models[name][1], img)
+                        img, clip_models[name][1])
                 phases["arcface_fwd_bwd_ingraph_ms"] = chained_ms(
-                    lambda ap, im: jax.grad(lambda i: jnp.sum(
-                        extract_feats(ap, i)))(im), arcface, img)
+                    lambda im, ap: jax.grad(lambda i: jnp.sum(
+                        extract_feats(ap, i)))(im), img, arcface)
                 return phases
 
             # the breakdown is only meaningful in a clean window: bracket
@@ -775,6 +822,11 @@ def bench_coach(weights_tag):
         "vs_baseline": round(imgs_per_sec
                              / V100_REFERENCE_COACH_IMGS_PER_SEC, 3),
         "weights": weights_tag,
+        # value/ms_per_step: per-step loss fetch (the r<=4 basis).
+        # pipelined_*: fetch-free steps chained on donated params — the
+        # cadence a production loop with board_interval logging runs at.
+        "pipelined_imgs_per_sec": round(
+            batch / (out["pipelined_ms_per_step"] / 1e3), 2),
         **{k: v for k, v in out.items() if k != "probe_clean"},
     }
     if "contention_probe_ms" in out:

@@ -68,6 +68,18 @@ import numpy as np
 @click.option("--bf16", is_flag=True, default=False,
               help="bf16 activations in the decoder's upper blocks (the "
                    "NVIDIA fp16 policy); params/optimizer stay fp32")
+@click.option("--no_fuse_d_step", is_flag=True, default=False,
+              help="disable the fused single-dispatch W-discriminator "
+                   "step (falls back to the 3-dispatch path the pool "
+                   "mode uses)")
+@click.option("--remat_min_res", default=0, show_default=True,
+              help="selective decoder remat: checkpoint only blocks at "
+                   ">= this resolution (0 = all); low-res activations "
+                   "are stored instead of recomputed")
+@click.option("--fetch_every", default=1, show_default=True,
+              help="fetch losses to the host every N steps; N>1 "
+                   "pipelines steps on-device between board/save/val "
+                   "boundaries (callbacks fire on fetch steps)")
 def main(exp_dir, dataset_type, encoder_type, source_root, test_root,
          batch_size, test_batch_size, learning_rate, optim_name,
          train_decoder, lpips_type, lpips_lambda, id_lambda, l2_lambda,
@@ -77,7 +89,8 @@ def main(exp_dir, dataset_type, encoder_type, source_root, test_root,
          use_w_pool, w_pool_size, delta_norm, delta_norm_lambda,
          data_parallel, progressive_start, progressive_step_every,
          resume_training_from_ckpt, arcface_weights, allow_random_init,
-         bf16_full, encoder_bf16, perception_bf16, bf16):
+         bf16_full, encoder_bf16, perception_bf16, bf16, no_fuse_d_step,
+         remat_min_res, fetch_every):
     import jax
     import jax.numpy as jnp
     from ..train.coach import Coach, CoachOptions
@@ -105,7 +118,8 @@ def main(exp_dir, dataset_type, encoder_type, source_root, test_root,
         progressive_start=progressive_start,
         progressive_step_every=progressive_step_every, exp_dir=exp_dir,
         bf16=bf16, bf16_full=bf16_full, perception_bf16=perception_bf16,
-        encoder_bf16=encoder_bf16)
+        encoder_bf16=encoder_bf16, fuse_d_step=not no_fuse_d_step,
+        remat_min_res=remat_min_res, fetch_every=fetch_every)
 
     # --- decoder
     if checkpoint_path:
