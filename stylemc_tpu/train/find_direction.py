@@ -777,6 +777,7 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
     cur_iteration = 0
     t0 = time.time()
     first_step_done = None
+    first_chunk_steps = 1   # steps covered by the first timing drain
     history = []
 
     def fire_callback(it, loss_s, aux_s, lr, gn_s, styles_last, delta):
@@ -822,6 +823,13 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
 
             start = cur_iteration
             cur_iteration += k
+            if first_step_done is None:
+                # drain the first CHUNK: separates the one-time per-call
+                # cost (trace + executable load) from steady-state chunks,
+                # mirroring the unrolled path's first-step drain
+                jax.block_until_ready(losses)
+                first_step_done = time.time()
+                first_chunk_steps = k
             history.append(losses)
             if callback is not None:
                 # same cadence as the unrolled loop: every multiple of 10
@@ -886,12 +894,15 @@ def find_direction(gen_params, gen_cfg: GeneratorConfig, styles_array,
     elapsed = time.time() - t0
     info = {"history": [float(x) for x in flat_history],
             "time": elapsed, "iterations": cur_iteration}
-    if first_step_done is not None and cur_iteration > 1:
+    fcs = first_chunk_steps
+    if first_step_done is not None and cur_iteration > fcs:
         first_done = first_step_done
         # one-time cost (trace + compile/cache-load) vs steady-state steps
+        # (the first drain covers fcs steps: 1 unrolled, k on the
+        # steps_per_dispatch scan path)
         info["first_step_time"] = first_done - t0
         info["steady_ms_per_step"] = (
-            1e3 * (elapsed - (first_done - t0)) / (cur_iteration - 1))
+            1e3 * (elapsed - (first_done - t0)) / (cur_iteration - fcs))
     return direction, info
 
 

@@ -48,6 +48,29 @@ def test_bucketing_consistency():
     assert np.abs(all_at_once.astype(int) - one_by_one.astype(int)).max() <= 1
 
 
+def test_warmup_covers_padded_bucket_of_pipeline_chunk():
+    """A pipeline_chunk that is not itself a bucket size (e.g. 24) renders
+    through the NEXT bucket (32): warmup must compile that bucket too or
+    the first large request pays trace+compile in-request (advisor r4)."""
+    cfg = GeneratorConfig(img_resolution=32, channel_base=1024,
+                          channel_max=64, mapping_layers=2)
+    params = init_generator_params(jax.random.PRNGKey(0), cfg)
+    d = np.zeros((1, N_STYLE_CHANNELS, 512), np.float32)
+    editor = BatchEditor(cfg, params, direction=d, max_batch=64,
+                         pipeline_chunk=24)
+    warmed = []
+    orig = editor.edit_styles
+
+    def spy(styles, **kw):
+        warmed.append(styles.shape[0])
+        return orig(styles, **kw)
+
+    editor.edit_styles = spy
+    editor.warmup()
+    assert max(warmed) == 32, warmed  # chunk 24 pads to bucket 32
+    assert 64 not in warmed           # but not buckets a chunk can't reach
+
+
 def test_mapper_backend():
     cfg = GeneratorConfig(img_resolution=32, channel_base=1024, channel_max=64,
                           mapping_layers=2)
