@@ -80,6 +80,9 @@ import numpy as np
               help="fetch losses to the host every N steps; N>1 "
                    "pipelines steps on-device between board/save/val "
                    "boundaries (callbacks fire on fetch steps)")
+@click.option("--prefetch_batches", default=2, show_default=True,
+              help="background-thread batch prefetch depth (0 = load "
+                   "inline; order-preserving)")
 def main(exp_dir, dataset_type, encoder_type, source_root, test_root,
          batch_size, test_batch_size, learning_rate, optim_name,
          train_decoder, lpips_type, lpips_lambda, id_lambda, l2_lambda,
@@ -90,7 +93,7 @@ def main(exp_dir, dataset_type, encoder_type, source_root, test_root,
          data_parallel, progressive_start, progressive_step_every,
          resume_training_from_ckpt, arcface_weights, allow_random_init,
          bf16_full, encoder_bf16, perception_bf16, bf16, no_fuse_d_step,
-         remat_min_res, fetch_every):
+         remat_min_res, fetch_every, prefetch_batches):
     import jax
     import jax.numpy as jnp
     from ..train.coach import Coach, CoachOptions
@@ -119,7 +122,8 @@ def main(exp_dir, dataset_type, encoder_type, source_root, test_root,
         progressive_step_every=progressive_step_every, exp_dir=exp_dir,
         bf16=bf16, bf16_full=bf16_full, perception_bf16=perception_bf16,
         encoder_bf16=encoder_bf16, fuse_d_step=not no_fuse_d_step,
-        remat_min_res=remat_min_res, fetch_every=fetch_every)
+        remat_min_res=remat_min_res, fetch_every=fetch_every,
+        prefetch_batches=prefetch_batches)
 
     # --- decoder
     if checkpoint_path:

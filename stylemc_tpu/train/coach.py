@@ -121,6 +121,13 @@ class CoachOptions:
     # final steps always fetch so logging and checkpoint cadence are
     # unchanged. Callbacks fire only on fetch steps when N>1.
     fetch_every: int = 1
+    # depth of the background-thread batch prefetcher in train(): the
+    # next batch loads/augments while the device runs the current step
+    # (host-side data generation otherwise serializes into the step —
+    # ~10+ ms/step measured for even a plain randn source). 0 disables
+    # (train_iter called inline, reference cadence). Batch ORDER is
+    # unchanged: one worker thread calls train_iter sequentially.
+    prefetch_batches: int = 2
 
     def __post_init__(self):
         if self.progressive_start is not None:
@@ -130,6 +137,54 @@ class CoachOptions:
                 for i in range(n - 1)]
         if self.save_interval is None:
             self.save_interval = self.max_steps
+
+
+class _Prefetcher:
+    """Single background thread pulling batches from `fn` ahead of the
+    training loop (depth-bounded). One worker ⇒ batch order identical to
+    calling `fn` inline; worker exceptions re-raise at the next get()."""
+
+    def __init__(self, fn: Callable, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: Any = queue.Queue(maxsize=max(1, depth))
+        self._fn = fn
+        self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        import queue
+        while not self._stop.is_set():
+            try:
+                item = self._fn()
+            except BaseException as e:  # noqa: BLE001 — surface at get()
+                self._err = e
+                self._q.put(None)
+                return
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    def get(self):
+        item = self._q.get()
+        if item is None and self._err is not None:
+            raise self._err
+        return item
+
+    def close(self):
+        self._stop.set()
+        # unblock a worker stuck on put()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
 
 
 class Coach:
@@ -655,26 +710,34 @@ class Coach:
         (if `best_checkpoint_path` is given) a best-model checkpoint is
         written — the reference's checkpoint_me(is_best=True) → best_model.pt
         (coach.py:133-135)."""
-        while self.global_step < self.opts.max_steps:
-            x, y = self.train_iter()
-            step_no = self.global_step + 1  # train_step increments
-            fetch = (self.opts.fetch_every <= 1
-                     or step_no % self.opts.fetch_every == 0
-                     or step_no % self.opts.board_interval == 0
-                     or step_no % self.opts.save_interval == 0
-                     or step_no >= self.opts.max_steps
-                     or (self.test_iter is not None
-                         and step_no % self.opts.val_interval == 0))
-            loss_dict = self.train_step(x, y, fetch=fetch)
-            if callback is not None and fetch:
-                callback(self.global_step, loss_dict)
-            if self.test_iter is not None and \
-                    self.global_step % self.opts.val_interval == 0:
-                val = self.validate()
-                if self.best_val_loss is None or val["loss"] < self.best_val_loss:
-                    self.best_val_loss = val["loss"]
-                    if best_checkpoint_path is not None:
-                        self.save_checkpoint(best_checkpoint_path)
+        source = (self.train_iter if self.opts.prefetch_batches <= 0
+                  else _Prefetcher(self.train_iter,
+                                   self.opts.prefetch_batches).get)
+        try:
+            while self.global_step < self.opts.max_steps:
+                x, y = source()
+                step_no = self.global_step + 1  # train_step increments
+                fetch = (self.opts.fetch_every <= 1
+                         or step_no % self.opts.fetch_every == 0
+                         or step_no % self.opts.board_interval == 0
+                         or step_no % self.opts.save_interval == 0
+                         or step_no >= self.opts.max_steps
+                         or (self.test_iter is not None
+                             and step_no % self.opts.val_interval == 0))
+                loss_dict = self.train_step(x, y, fetch=fetch)
+                if callback is not None and fetch:
+                    callback(self.global_step, loss_dict)
+                if self.test_iter is not None and \
+                        self.global_step % self.opts.val_interval == 0:
+                    val = self.validate()
+                    if self.best_val_loss is None or \
+                            val["loss"] < self.best_val_loss:
+                        self.best_val_loss = val["loss"]
+                        if best_checkpoint_path is not None:
+                            self.save_checkpoint(best_checkpoint_path)
+        finally:
+            if source is not self.train_iter:
+                source.__self__.close()
 
     def validate(self, n_batches: int = 4) -> Dict[str, float]:
         agg: Dict[str, List[float]] = {}

@@ -371,6 +371,50 @@ def test_coach_fused_d_step_matches_unfused():
 
 
 @pytest.mark.slow
+def test_coach_prefetcher_matches_inline():
+    """The background-thread batch prefetcher must not change training:
+    one worker pulls train_iter sequentially, so the batch order — and
+    therefore every loss — matches the inline loop exactly."""
+    gen_cfg = GeneratorConfig(img_resolution=256, channel_base=512,
+                              channel_max=32, mapping_layers=2,
+                              conv_clamp=None)
+    gen_params = init_generator_params(jax.random.PRNGKey(0), gen_cfg)
+    enc_params = init_encoder_params(jax.random.PRNGKey(1), stylegan_size=256,
+                                     layout=TINY_E4E_LAYOUT)
+    perception = {"lpips": init_lpips_params(jax.random.PRNGKey(2), "alex"),
+                  "arcface": tiny_arcface()}
+
+    def run(prefetch):
+        rng = np.random.RandomState(5)
+
+        def train_iter():
+            x = rng.randn(2, 3, 256, 256).astype(np.float32) * 0.3
+            return x, x.copy()
+
+        psp = PSP(cfg=PSPConfig(stylegan_size=256,
+                                encoder_layout=TINY_E4E_LAYOUT),
+                  encoder_params=jax.tree_util.tree_map(jnp.array,
+                                                        enc_params),
+                  decoder_cfg=gen_cfg,
+                  decoder_params=jax.tree_util.tree_map(jnp.array,
+                                                        gen_params),
+                  latent_avg=jnp.zeros((14, 512)))
+        opts = CoachOptions(batch_size=2, max_steps=3, stylegan_size=256,
+                            w_discriminator_lambda=0.1, id_lambda=0.1,
+                            lpips_lambda=0.8, l2_lambda=1.0,
+                            prefetch_batches=prefetch)
+        coach = Coach(opts, psp, perception, train_iter, test_iter=None,
+                      arcface_layout=TINY_ARCFACE_LAYOUT)
+        seen = []
+        coach.train(callback=lambda step, d: seen.append(d["loss"]))
+        return seen
+
+    inline, prefetched = run(0), run(2)
+    assert len(inline) == len(prefetched) == 3
+    np.testing.assert_allclose(inline, prefetched, rtol=1e-6)
+
+
+@pytest.mark.slow
 def test_coach_selective_remat_matches_full():
     """remat_min_res stores the low-res blocks' activations instead of
     rematerializing them — identical numerics to full remat by
