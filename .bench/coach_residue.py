@@ -21,6 +21,14 @@ downstream of that leaf out of the scan, producing a 1.26 ms "Ranger
 update" (closed-over opt state = loop-invariant) and a negative encoder
 slope. Chain through the REAL state or perturb the REAL data input.
 
+MEASURED (2026-08-21): ranger update = 14.5 ms (two runs agree: 14.53 /
+14.54). The W-D-phase and encoder-fwd sections hit the shared compile
+service's broken-pipe failure mode on both attempts (docs/performance.md
+"compile time is a first-class cost") — their end-to-end cost is pinned
+instead by the noWD step A/B: full stack 338.1 vs no-W-D 329.1 ms/step
+pipelined ⇒ the whole D phase (mapping + duplicate encoder fwd + D
+update + lazy R1) costs ~9 ms/step on-device.
+
 Run: PYTHONPATH=/root/repo:/root/.axon_site python .bench/coach_residue.py
 """
 import time
